@@ -1,0 +1,101 @@
+"""SO(3) exponential/log maps and rotation parameterizations.
+
+TPU-native rewrite of the reference's ``AbDock/src/modules/common/so3.py``
+(log_rotation :10, so3vec<->rotation :56-63, random_uniform_so3 :66) and the
+quaternion conversions in ``geometry.py:148-233``. All functions take arbitrary
+leading batch dimensions and are differentiable; the acos in ``log_rotation``
+is clamped on both sides so gradients stay finite under jit (the reference
+toggles the clamp on ``torch.is_grad_enabled()``, which has no JAX analog).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .vec import normalize_vector
+
+_MIN_COS = -0.9999
+
+
+def so3vec_to_skewsym(w):
+    """Axis-angle vector (..., 3) -> skew-symmetric matrix (..., 3, 3)."""
+    x, y, z = jnp.moveaxis(w, -1, 0)
+    o = jnp.zeros_like(x)
+    rows = jnp.stack([o, z, -y, -z, o, x, y, -x, o], axis=-1)
+    return rows.reshape(w.shape[:-1] + (3, 3))
+
+
+def skewsym_to_so3vec(S):
+    """Skew-symmetric matrix (..., 3, 3) -> axis-angle vector (..., 3)."""
+    return jnp.stack([S[..., 1, 2], S[..., 2, 0], S[..., 0, 1]], axis=-1)
+
+
+def exp_skewsym(S):
+    """Rodrigues' formula: exp of a skew-symmetric matrix (..., 3, 3)."""
+    x = jnp.linalg.norm(skewsym_to_so3vec(S), axis=-1)      # rotation angle
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape)
+    # Regularized sinc-style coefficients; limits at x->0 are 1 and 0.5.
+    b = (jnp.sin(x) + 1e-8) / (x + 1e-8)
+    c = (1.0 - jnp.cos(x) + 1e-8) / (x * x + 2e-8)
+    # 3x3 matmuls must run at full f32 precision on TPU (the MXU's default
+    # bf16 accumulation breaks orthogonality); HIGHEST is free at this size.
+    S2 = jnp.matmul(S, S, precision=jax.lax.Precision.HIGHEST)
+    return eye + b[..., None, None] * S + c[..., None, None] * S2
+
+
+def log_rotation(R):
+    """Matrix log of a rotation (..., 3, 3) -> skew-symmetric (..., 3, 3)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    # Upper clamp strictly below 1 keeps arccos' finite for identity inputs.
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, _MIN_COS, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_theta)
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta**2, min=1e-12))
+    coef = (theta + 1e-8) / (2.0 * sin_theta + 2e-8)
+    return coef[..., None, None] * (R - jnp.swapaxes(R, -1, -2))
+
+
+def so3vec_to_rotation(w):
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
+    return exp_skewsym(so3vec_to_skewsym(w))
+
+
+def rotation_to_so3vec(R):
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    return skewsym_to_so3vec(log_rotation(R))
+
+
+def quaternion_to_rotation_matrix(q):
+    """Unit-normalized quaternion (..., 4) [w, x, y, z] -> rotation (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r, i, j, k = jnp.moveaxis(q, -1, 0)
+    two = 2.0
+    rows = jnp.stack([
+        1 - two * (j * j + k * k), two * (i * j - k * r), two * (i * k + j * r),
+        two * (i * j + k * r), 1 - two * (i * i + k * k), two * (j * k - i * r),
+        two * (i * k - j * r), two * (j * k + i * r), 1 - two * (i * i + j * j),
+    ], axis=-1)
+    return rows.reshape(q.shape[:-1] + (3, 3))
+
+
+def quaternion_1ijk_to_rotation_matrix(v):
+    """(1 + bi + cj + dk) -> rotation matrix; v: (..., 3).
+
+    Used by the denoiser's rotation-update head (ref dpm_full.py:102): the
+    network outputs the imaginary part of a quaternion whose real part is
+    pinned at 1, guaranteeing a rotation close to identity at small outputs.
+    """
+    b, c, d = jnp.moveaxis(v, -1, 0)
+    s = jnp.sqrt(1.0 + b * b + c * c + d * d)
+    a, b, c, d = 1.0 / s, b / s, c / s, d / s
+    rows = jnp.stack([
+        a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c),
+        2 * (b * c + a * d), a * a - b * b + c * c - d * d, 2 * (c * d - a * b),
+        2 * (b * d - a * c), 2 * (c * d + a * b), a * a - b * b - c * c + d * d,
+    ], axis=-1)
+    return rows.reshape(v.shape[:-1] + (3, 3))
+
+
+def random_uniform_so3(key, shape, dtype=jnp.float32):
+    """Uniform random rotations as so3 vectors, shape ``shape + (3,)``."""
+    q = normalize_vector(jax.random.normal(key, tuple(shape) + (4,), dtype=dtype))
+    return rotation_to_so3vec(quaternion_to_rotation_matrix(q))
