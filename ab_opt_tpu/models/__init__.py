@@ -1,0 +1,7 @@
+"""Model wrappers (L4): registry + the diffab flagship model."""
+from ._base import get_model, register_model
+from .diffab import DiffAb, DiffAbConfig, DiffAbNet
+from . import losses
+
+__all__ = ['get_model', 'register_model', 'DiffAb', 'DiffAbConfig',
+           'DiffAbNet', 'losses']

@@ -1,0 +1,355 @@
+"""The flagship sequence-structure co-design / docking diffusion model.
+
+TPU-native rewrite of the reference's ``diffab`` model + ``FullDPM``
+(``AbDock/src/models/diffab.py``, ``AbDock/src/modules/diffusion/dpm_full.py``).
+Architecture:
+
+* ``DiffAbNet`` (flax) holds all parameters: residue/pair embeddings and the
+  EpsilonNet denoiser. Encoding runs once per complex; the denoiser runs once
+  per diffusion step.
+* ``DiffAb`` (plain object) owns the parameter-free transition kernels
+  (pytrees of precomputed tables) and exposes pure functions:
+  ``loss`` (training), ``sample`` (T->0 reverse loop as lax.scan under jit)
+  and ``optimize`` (noise-to-step-t then denoise).
+
+Sampling fan-out is a leading batch axis: replicate the encoded complex and
+vmap/shard the trajectories across chips (see ab_opt_tpu.parallel).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..constants import BBHeavyAtom
+from ..diffusion import PositionTransition, RotationTransition, SequenceTransition
+from ..geometry import construct_3d_basis, random_uniform_so3, rotation_to_so3vec, so3vec_to_rotation
+from ..nn import EpsilonNet, PairEmbedding, ResidueEmbedding
+from . import losses as L
+from ._base import register_model
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffAbConfig:
+    res_feat_dim: int = 128
+    pair_feat_dim: int = 64
+    num_steps: int = 100
+    num_layers: int = 6
+    obj: str = 'pred_x0'               # 'pred_x0' | 'pred_noise'
+    num_atoms: int = 15                # 'full' resolution; 5 = backbone+CB
+    num_bins: int = 40                 # pRMSD confidence bins
+    dist_min: float = 0.5
+    dist_max: float = 19.5
+    train_structure: bool = True
+    train_sequence: bool = True
+    position_mean: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    position_scale: Tuple[float, ...] = (10.0,)
+    seed: int = 0
+    dtype: str = 'float32'             # compute dtype for dense layers
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == 'bfloat16' else jnp.float32
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> 'DiffAbConfig':
+        """Build from a reference-style config dict (model section)."""
+        d = dict(d)
+        d.pop('type', None)
+        diffusion = d.pop('diffusion', {})
+        kw = {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        resolution = d.pop('resolution', 'full')
+        kw['num_atoms'] = 15 if resolution == 'full' else 5
+        for src in (d, diffusion):
+            for k, v in src.items():
+                if k == 'eps_net_opt':
+                    kw['num_layers'] = v.get('num_layers', 6)
+                elif k in fields:
+                    kw[k] = tuple(v) if isinstance(v, list) else v
+        return cls(**kw)
+
+
+class DiffAbNet(nn.Module):
+    """Parameter-bearing part: embeddings + denoiser (invoked via methods)."""
+
+    cfg: DiffAbConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.compute_dtype
+        self.residue_embed = ResidueEmbedding(c.res_feat_dim, c.num_atoms, dtype=dt)
+        self.pair_embed = PairEmbedding(c.pair_feat_dim, c.num_atoms, dtype=dt)
+        self.eps_net = EpsilonNet(c.res_feat_dim, c.pair_feat_dim, c.num_layers,
+                                  num_bins=c.num_bins, dtype=dt)
+
+    def encode(self, batch, remove_structure: bool, remove_sequence: bool):
+        """Build res/pair features + frames with leak-proof context masks
+        (ref models/diffab.py:39-83)."""
+        context_mask = (batch['mask_heavyatom'][:, :, BBHeavyAtom.CA]
+                        & ~batch['generate_flag'])
+        structure_mask = context_mask if remove_structure else None
+        sequence_mask = context_mask if remove_sequence else None
+
+        res_feat = self.residue_embed(
+            aa=batch['aa'], res_nb=batch['res_nb'], chain_nb=batch['chain_nb'],
+            pos_atoms=batch['pos_heavyatom'], mask_atoms=batch['mask_heavyatom'],
+            fragment_type=batch['fragment_type'],
+            structure_mask=structure_mask, sequence_mask=sequence_mask)
+        pair_feat = self.pair_embed(
+            aa=batch['aa'], res_nb=batch['res_nb'], chain_nb=batch['chain_nb'],
+            pos_atoms=batch['pos_heavyatom'], mask_atoms=batch['mask_heavyatom'],
+            structure_mask=structure_mask, sequence_mask=sequence_mask)
+
+        R = construct_3d_basis(
+            batch['pos_heavyatom'][:, :, BBHeavyAtom.CA],
+            batch['pos_heavyatom'][:, :, BBHeavyAtom.C],
+            batch['pos_heavyatom'][:, :, BBHeavyAtom.N])
+        p = batch['pos_heavyatom'][:, :, BBHeavyAtom.CA]
+        return res_feat, pair_feat, R, p
+
+    def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
+                     mask_generate, mask_res):
+        return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
+                            mask_generate, mask_res)
+
+    def __call__(self, batch):
+        """Init-only path touching every submodule (encode + one denoise)."""
+        res_feat, pair_feat, R, p = self.encode(batch, True, True)
+        N = batch['aa'].shape[0]
+        v = rotation_to_so3vec(R)
+        return self.denoise_step(
+            v, p, batch['aa'], res_feat, pair_feat, jnp.zeros((N,)),
+            batch['generate_flag'], batch['mask'])
+
+
+@register_model('diffab')
+class DiffAb:
+    """Model facade: parameters (flax) + transitions (tables) + pure ops."""
+
+    def __init__(self, cfg: DiffAbConfig):
+        if isinstance(cfg, dict):
+            cfg = DiffAbConfig.from_dict(cfg)
+        self.cfg = cfg
+        self.net = DiffAbNet(cfg)
+        self.trans_rot = RotationTransition.create(cfg.num_steps)
+        self.trans_pos = PositionTransition.create(cfg.num_steps)
+        self.trans_seq = SequenceTransition.create(cfg.num_steps)
+        self._pos_mean = jnp.asarray(cfg.position_mean, jnp.float32).reshape(1, 1, -1)
+        self._pos_scale = jnp.asarray(cfg.position_scale, jnp.float32).reshape(1, 1, -1)
+
+    # ----------------------------------------------------------------- utils
+
+    def init(self, key, batch):
+        """Initialize parameters from an example (device) batch."""
+        return self.net.init(key, batch)
+
+    def normalize_position(self, p):
+        return (p - self._pos_mean) / self._pos_scale
+
+    def unnormalize_position(self, p):
+        return p * self._pos_scale + self._pos_mean
+
+    def encode(self, params, batch, remove_structure: bool, remove_sequence: bool):
+        return self.net.apply(params, batch, remove_structure, remove_sequence,
+                              method=DiffAbNet.encode)
+
+    # ----------------------------------------------------------------- train
+
+    def loss(self, params, batch, key, t: Optional[jnp.ndarray] = None,
+             denoise_structure: Optional[bool] = None,
+             denoise_sequence: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+        """Single-step diffusion training losses (ref dpm_full.py:156-234)."""
+        cfg = self.cfg
+        denoise_structure = (cfg.train_structure if denoise_structure is None
+                             else denoise_structure)
+        denoise_sequence = (cfg.train_sequence if denoise_sequence is None
+                            else denoise_sequence)
+
+        mask_generate = batch['generate_flag']
+        mask_res = batch['mask']
+        res_feat, pair_feat, R_0, p_0 = self.encode(
+            params, batch, denoise_structure, denoise_sequence)
+        v_0 = rotation_to_so3vec(R_0)
+        s_0 = batch['aa']
+        N, LL = s_0.shape
+
+        k_t, k_rot, k_pos, k_seq = jax.random.split(key, 4)
+        if t is None:
+            t = jax.random.randint(k_t, (N,), 0, cfg.num_steps)
+        p_0 = self.normalize_position(p_0)
+
+        if denoise_structure:
+            v_noisy, _ = self.trans_rot.add_noise(k_rot, v_0, mask_generate, t)
+            p_noisy, eps_p = self.trans_pos.add_noise(k_pos, p_0, mask_generate, t)
+        else:
+            v_noisy, p_noisy = v_0, p_0
+            eps_p = jnp.zeros_like(p_noisy)
+
+        if denoise_sequence:
+            _, s_noisy = self.trans_seq.add_noise(k_seq, s_0, mask_generate, t)
+        else:
+            s_noisy = s_0
+
+        beta = self.trans_pos.sched.betas[t]
+        v_pred, R_pred, p_pred, c_denoised, prmsd_logits = self.net.apply(
+            params, v_noisy, p_noisy, s_noisy, res_feat, pair_feat, beta,
+            mask_generate, mask_res, method=DiffAbNet.denoise_step)
+
+        if cfg.obj == 'pred_x0':
+            p_true, pred_p0 = p_0, p_pred
+        else:
+            p_true = p_noisy
+            pred_p0 = self.trans_pos.pred_start_from_noise(p_0, p_pred, mask_generate, t)
+
+        loss_dict = {}
+        rmsd = L.masked_rmsd(self.unnormalize_position(pred_p0),
+                             self.unnormalize_position(p_0), mask_generate)
+        loss_dict['prmsd'] = L.prmsd_loss(
+            prmsd_logits, jax.lax.stop_gradient(rmsd), mask_generate[:, 0],
+            cfg.dist_min, cfg.dist_max, cfg.num_bins)
+
+        if cfg.obj == 'pred_x0':
+            loss_dict['dist'] = L.pairwise_distance_loss(
+                p_pred, p_true, mask_generate, mask_res)
+
+        R_0 = so3vec_to_rotation(v_0)
+        loss_dict['rot'] = L.masked_mean(
+            L.rotation_matrix_cosine_loss(R_pred, R_0), mask_generate)
+
+        loss_dict['pos'] = L.masked_mean(
+            jnp.sum((p_pred - p_true) ** 2, axis=-1), mask_generate)
+
+        post_true = self.trans_seq.posterior(s_noisy, s_0, t)
+        log_post_pred = jnp.log(
+            self.trans_seq.posterior(s_noisy, c_denoised, t) + 1e-8)
+        loss_dict['seq'] = L.sequence_kl_loss(post_true, log_post_pred, mask_generate)
+
+        return loss_dict
+
+    # ---------------------------------------------------------------- sample
+
+    def _reverse_scan(self, params, key, state_init, res_feat, pair_feat,
+                      mask_generate, mask_res, t_start: int,
+                      sample_structure: bool, sample_sequence: bool,
+                      keep_traj: bool):
+        """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
+
+        def step(carry, t):
+            v_t, p_t, s_t, key = carry
+            key, k_rot, k_pos, k_seq = jax.random.split(key, 4)
+            N = v_t.shape[0]
+            t_vec = jnp.full((N,), t, jnp.int32)
+            beta = self.trans_pos.sched.betas[t_vec]
+
+            v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
+                params, v_t, p_t, s_t, res_feat, pair_feat, beta,
+                mask_generate, mask_res, method=DiffAbNet.denoise_step)
+            prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
+                                          self.cfg.dist_max)
+            if self.cfg.obj == 'pred_x0':
+                eps_p = self.trans_pos.pred_noise_from_start(
+                    p_t, p_pred, mask_generate, t_vec)
+            else:
+                eps_p = p_pred
+
+            v_new = self.trans_rot.denoise(k_rot, v_t, v_next, mask_generate, t_vec)
+            p_new = self.trans_pos.denoise(k_pos, p_t, eps_p, mask_generate, t_vec)
+            post, s_new = self.trans_seq.denoise(k_seq, s_t, c_denoised,
+                                                 mask_generate, t_vec)
+            ppl = L.sequence_perplexity(post, mask_generate)
+
+            if not sample_structure:
+                v_new, p_new = v_t, p_t
+            if not sample_sequence:
+                s_new = s_t
+
+            out = {'prmsd': prmsd_score, 'perplexity': ppl}
+            if keep_traj:
+                out |= {'v': v_new, 'p': self.unnormalize_position(p_new), 's': s_new}
+            return (v_new, p_new, s_new, key), out
+
+        ts = jnp.arange(t_start, 0, -1)
+        (v, p, s, _), outs = jax.lax.scan(step, state_init + (key,), ts)
+        return v, p, s, outs
+
+    def sample(self, params, batch, key, sample_structure: bool = True,
+               sample_sequence: bool = True, keep_traj: bool = False,
+               contig: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Full reverse-diffusion sampling (ref dpm_full.py:237-302).
+
+        Returns a dict with final 'v', 'p' (unnormalized), 's', plus per-step
+        'prmsd' and 'perplexity' (T, N); if keep_traj, stacked 'traj' arrays.
+        """
+        mask_generate = batch['generate_flag']
+        if contig is not None:
+            mask_generate = mask_generate & contig
+        mask_res = batch['mask']
+
+        res_feat, pair_feat, R_0, p_ctx = self.encode(
+            params, batch, sample_structure, sample_sequence)
+        v = rotation_to_so3vec(R_0)
+        p = self.normalize_position(p_ctx)
+        s = batch['aa']
+        N, LL = s.shape
+
+        k_init_v, k_init_p, k_init_s, k_scan = jax.random.split(key, 4)
+        if sample_structure:
+            v_rand = random_uniform_so3(k_init_v, (N, LL))
+            p_rand = jax.random.normal(k_init_p, p.shape, p.dtype)
+            v = jnp.where(mask_generate[..., None], v_rand, v)
+            p = jnp.where(mask_generate[..., None], p_rand, p)
+        if sample_sequence:
+            s_rand = jax.random.randint(k_init_s, s.shape, 0, 19, s.dtype)
+            s = jnp.where(mask_generate, s_rand, s)
+
+        v, p, s, outs = self._reverse_scan(
+            params, k_scan, (v, p, s), res_feat, pair_feat, mask_generate,
+            mask_res, self.cfg.num_steps, sample_structure, sample_sequence,
+            keep_traj)
+
+        result = {
+            'v': v, 'p': self.unnormalize_position(p), 's': s,
+            'prmsd': outs['prmsd'], 'perplexity': outs['perplexity'],
+        }
+        if keep_traj:
+            result['traj'] = {k: outs[k] for k in ('v', 'p', 's')}
+        return result
+
+    def optimize(self, params, batch, key, opt_step: int,
+                 sample_structure: bool = True, sample_sequence: bool = True,
+                 keep_traj: bool = False) -> Dict[str, jnp.ndarray]:
+        """Noise the native state to step ``opt_step`` then denoise
+        (ref dpm_full.py:304-367)."""
+        mask_generate = batch['generate_flag']
+        mask_res = batch['mask']
+
+        res_feat, pair_feat, R_0, p_ctx = self.encode(
+            params, batch, sample_structure, sample_sequence)
+        v = rotation_to_so3vec(R_0)
+        p = self.normalize_position(p_ctx)
+        s = batch['aa']
+        N, LL = s.shape
+        t_vec = jnp.full((N,), opt_step, jnp.int32)
+
+        k_rot, k_pos, k_seq, k_scan = jax.random.split(key, 4)
+        if sample_structure:
+            v, _ = self.trans_rot.add_noise(k_rot, v, mask_generate, t_vec)
+            p, _ = self.trans_pos.add_noise(k_pos, p, mask_generate, t_vec)
+        if sample_sequence:
+            _, s = self.trans_seq.add_noise(k_seq, s, mask_generate, t_vec)
+
+        v, p, s, outs = self._reverse_scan(
+            params, k_scan, (v, p, s), res_feat, pair_feat, mask_generate,
+            mask_res, opt_step, sample_structure, sample_sequence, keep_traj)
+
+        result = {
+            'v': v, 'p': self.unnormalize_position(p), 's': s,
+            'prmsd': outs['prmsd'], 'perplexity': outs['perplexity'],
+        }
+        if keep_traj:
+            result['traj'] = {k: outs[k] for k in ('v', 'p', 's')}
+        return result

@@ -1,0 +1,86 @@
+"""The denoiser network: sequence mix-in -> GAEncoder -> per-modality heads.
+
+TPU-native rewrite of ``AbDock/src/modules/diffusion/dpm_full.py:35-112``
+(EpsilonNet). Outputs, per call:
+
+  v_next  — *updated* orientations (not an epsilon), (N, L, 3)
+  R_next  — the same update as rotation matrices, (N, L, 3, 3)
+  eps_pos — position noise / x0 prediction in the global frame, (N, L, 3)
+  c_denoised — softmaxed 20-way sequence distribution, (N, L, 20)
+  prmsd_logits — per-complex confidence logits, (N, num_bins)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geometry import (
+    apply_rotation_to_vector,
+    quaternion_1ijk_to_rotation_matrix,
+    rotation_to_so3vec,
+    so3vec_to_rotation,
+)
+from .ipa import GAEncoder
+from .layers import MLP, PerResiduePredictor
+
+_HI_PREC = 'highest'
+
+
+class EpsilonNet(nn.Module):
+    res_feat_dim: int
+    pair_feat_dim: int
+    num_layers: int
+    num_bins: int = 20
+    encoder_opt: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
+                 mask_generate, mask_res):
+        """
+        Args:
+          v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
+          s_t: (N, L) int aa codes; res_feat: (N, L, F); pair_feat: (N, L, L, C);
+          beta: (N,) schedule value at t; mask_generate / mask_res: (N, L).
+        """
+        N, L = mask_res.shape
+        F = self.res_feat_dim
+        R = so3vec_to_rotation(v_t)
+
+        # Mix the current (noisy) sequence into the static residue features.
+        seq_embed = nn.Embed(25, F, dtype=self.dtype, name='seq_embed')(s_t)
+        res_feat = MLP((F, F), dtype=self.dtype, name='res_feat_mixer')(
+            jnp.concatenate([res_feat, seq_embed], axis=-1))
+
+        res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
+                             ga_block_opt=self.encoder_opt, dtype=self.dtype,
+                             name='encoder')(R, p_t, res_feat, pair_feat, mask_res)
+
+        t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
+        t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))
+        in_feat = jnp.concatenate([res_feat, t_embed], axis=-1)
+
+        # Position head: local-frame output rotated into the global frame.
+        eps_crd = MLP((F, F, 3), dtype=self.dtype, name='eps_crd_net')(in_feat)
+        eps_pos = apply_rotation_to_vector(R, eps_crd)
+        eps_pos = jnp.where(mask_generate[..., None], eps_pos, 0.0)
+
+        # Rotation head: quaternion update composed with the current rotation.
+        eps_rot = MLP((F, F, 3), dtype=self.dtype, name='eps_rot_net')(in_feat)
+        U = quaternion_1ijk_to_rotation_matrix(eps_rot)
+        R_next = jnp.matmul(R, U, precision=_HI_PREC)
+        v_next = rotation_to_so3vec(R_next)
+        v_next = jnp.where(mask_generate[..., None], v_next, v_t)
+
+        # Sequence head (softmaxed) and per-complex pRMSD confidence logits.
+        c_denoised = nn.softmax(
+            MLP((F, F, 20), dtype=self.dtype, name='eps_seq_net')(in_feat), axis=-1)
+        prmsd_logits = PerResiduePredictor(self.num_bins, F, dtype=self.dtype,
+                                           name='prmsd_predictor')(in_feat)
+        # Per-complex score: mean over the residue axis (the reference averages
+        # over all L incl. padding, dpm_full.py:110 — reproduced for parity).
+        prmsd_logits = prmsd_logits.mean(axis=1)
+
+        return v_next, R_next, eps_pos, c_denoised, prmsd_logits
