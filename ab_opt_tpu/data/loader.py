@@ -1,0 +1,118 @@
+"""Minimal host-side data loader (torch-free).
+
+Replaces the reference's torch DataLoader(num_workers=8) with a
+thread-prefetched iterator: transforms are numpy-only and release the GIL in
+BLAS calls, and batches are small, so thread prefetch overlaps host work with
+device steps without multiprocessing complexity.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from .transforms import DISTVIOLATION
+
+
+class DataLoader:
+    def __init__(self, dataset: Sequence, batch_size: int,
+                 collate_fn: Callable, shuffle: bool = True,
+                 drop_last: bool = False, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _safe_getitem(self, idx: int, max_retries: int = 32):
+        """Resample a neighbor on DISTVIOLATION / None (ref sabdab.py:502-512)."""
+        n = len(self.dataset)
+        for _ in range(max_retries):
+            try:
+                item = self.dataset[idx]
+            except DISTVIOLATION:
+                item = None
+            if item is not None:
+                return item
+            idx = (idx + int(self.rng.integers(1, 16))) % n
+        raise RuntimeError('Too many consecutive data violations.')
+
+    def _batches(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for lo in range(0, len(order), self.batch_size):
+            idxs = order[lo:lo + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            items = [self._safe_getitem(int(i)) for i in idxs]
+            yield self.collate_fn(items)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = []
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:     # surfaced in the consumer
+                error_holder.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if error_holder:
+            raise error_holder[0]
+
+
+def inf_iterator(loader: DataLoader) -> Iterator:
+    """Endless epoch cycling (ref utils/train.py)."""
+    while True:
+        yield from loader
+
+
+class TransformedDataset:
+    """Apply a transform pipeline per item with per-item deterministic rng."""
+
+    def __init__(self, items: Sequence, transform: Optional[Callable],
+                 seed: int = 0):
+        self.items = items
+        self.transform = transform
+        self.seed = seed
+        self._counter = 0   # salts augmentation randomness across epochs
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        import copy
+        item = self.items[idx]
+        if item is None:
+            return None
+        if self.transform is None:
+            return item
+        self._counter += 1
+        rng = np.random.default_rng((self.seed, idx, self._counter))
+        return self.transform(copy.deepcopy(item), rng=rng)

@@ -1,0 +1,11 @@
+"""Training layer (L5): trainer loop, optimizers, schedulers, checkpoints."""
+from .checkpoint import load_checkpoint, restore_into, save_checkpoint
+from .trainer import (
+    ExpScheduler,
+    PlateauScheduler,
+    Trainer,
+    build_optimizer,
+    build_scheduler,
+)
+
+__all__ = [k for k in dir() if not k.startswith('_')]

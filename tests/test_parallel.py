@@ -1,0 +1,79 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import optax
+import pytest
+
+from ab_opt_tpu.models import DiffAb, DiffAbConfig
+from ab_opt_tpu.parallel import (
+    make_mesh,
+    replicate_batch,
+    sharded_sample_fn,
+    sharded_train_step,
+)
+from helpers import make_batch
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason='needs 8 virtual devices')
+
+CFG = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=4,
+                   num_layers=1, num_bins=8)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model = DiffAb(CFG)
+    batch = make_batch(np.random.default_rng(0), N=8, L=16)
+    params = model.init(jax.random.key(0), batch)
+    return model, batch, params
+
+
+def test_dp_train_step(setup):
+    model, batch, params = setup
+    mesh = make_mesh(8)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = sharded_train_step(model.loss, opt, mesh,
+                              loss_weights={'prmsd': 0.1}, max_grad_norm=100.0)
+    p2, opt_state, losses = step(params, opt_state, batch, jax.random.key(1))
+    assert np.isfinite(float(losses['overall']))
+    # Params actually changed.
+    diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
+                                  params, p2)
+    assert sum(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_dp_matches_single_device(setup):
+    """Sharded loss equals single-device loss for the same batch and key."""
+    model, batch, params = setup
+    mesh = make_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded = {k: jax.device_put(v, NamedSharding(mesh, P('dp')))
+               for k, v in batch.items()}
+    loss_sharded = jax.jit(model.loss)(params, sharded, jax.random.key(3))
+    loss_local = jax.jit(model.loss)(params, batch, jax.random.key(3))
+    for k in loss_local:
+        np.testing.assert_allclose(float(loss_sharded[k]), float(loss_local[k]),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_sampling_fanout(setup):
+    model, _, params = setup
+    mesh = make_mesh(8)
+    one = make_batch(np.random.default_rng(1), N=1, L=16)
+    batch = replicate_batch(one, 8)
+    sample = sharded_sample_fn(model.sample, mesh)
+    out = sample(params, batch, jax.random.key(2))
+    assert out['p'].shape[0] == 8
+    assert np.isfinite(np.asarray(out['p'])).all()
+    # Trajectories are independent (different noise per shard).
+    p = np.asarray(out['p'])
+    gen = np.asarray(batch['generate_flag'][0])
+    assert not np.allclose(p[0][gen], p[1][gen])
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)

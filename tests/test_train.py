@@ -1,0 +1,107 @@
+"""Trainer tests: loss decreases, checkpoints roundtrip, NaN guard, loader."""
+import numpy as np
+import pytest
+
+import jax
+
+from ab_opt_tpu.data.collate import PaddingCollate
+from ab_opt_tpu.data.loader import DataLoader, TransformedDataset, inf_iterator
+from ab_opt_tpu.models import DiffAb, DiffAbConfig
+from ab_opt_tpu.train import Trainer, load_checkpoint
+from helpers import make_batch
+
+
+CFG = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=8,
+                   num_layers=1, num_bins=8)
+TRAIN_CFG = {
+    'loss_weights': {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
+                     'prmsd': 0.1},
+    'max_iters': 30,
+    'val_freq': 10,
+    'batch_size': 4,
+    'max_grad_norm': 100.0,
+    'optimizer': {'type': 'adam', 'lr': 1e-3},
+    'scheduler': {'type': 'plateau', 'factor': 0.5, 'patience': 2,
+                  'min_lr': 1e-5},
+}
+
+
+def _unbatch(batch, i):
+    return {k: np.asarray(v[i]) for k, v in batch.items()}
+
+
+@pytest.fixture(scope='module')
+def data():
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, N=8, L=16)
+    items = [_unbatch(batch, i % 8) for i in range(8)]
+    return items
+
+
+def test_loader_shapes(data):
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=PaddingCollate(buckets=(16, 32)))
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]['aa'].shape == (4, 16)
+    assert 'mask' in batches[0]
+
+
+def test_overfit_small(tmp_path, data):
+    model = DiffAb(CFG)
+    trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path),
+                      full_config={'model': {'type': 'diffab'}})
+    collate = PaddingCollate(buckets=(16,))
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=collate, prefetch=0)
+    fixed_batch = next(iter(loader))
+    trainer.init_params(fixed_batch)
+
+    def eval_loss(params):
+        from ab_opt_tpu.data.collate import to_device_batch
+        d = trainer.model.loss(params, to_device_batch(fixed_batch),
+                               jax.random.key(42))
+        return sum(float(v) * TRAIN_CFG['loss_weights'][k] for k, v in d.items())
+
+    before = eval_loss(trainer.params)
+    trainer.train(inf_iterator(loader), val_loader=loader, max_iters=30,
+                  log_every=1000)
+    assert trainer.iteration == 30
+    # Training reduces the (fixed-key, deterministic) loss on the overfit set.
+    after = eval_loss(trainer.params)
+    assert after < before
+
+    # Checkpoint written at val_freq; reload and verify params restore.
+    import glob
+    ckpts = glob.glob(str(tmp_path / 'checkpoints' / '*.ckpt'))
+    assert ckpts
+    saved = load_checkpoint(sorted(ckpts)[-1])
+    assert saved['config'] == {'model': {'type': 'diffab'}}
+    assert saved['iteration'] > 0
+
+    # Resume into a fresh trainer.
+    t2 = Trainer(DiffAb(CFG), TRAIN_CFG, log_dir=None)
+    t2.init_params(next(iter(loader)))
+    t2.resume(sorted(ckpts)[-1])
+    assert t2.iteration == saved['iteration']
+    a = jax.tree_util.tree_leaves(trainer.params)
+    # fresh params differ from trained, restored match saved
+    s = jax.tree_util.tree_leaves(saved['params'])
+    r = jax.tree_util.tree_leaves(t2.params)
+    assert all(np.allclose(x, y) for x, y in zip(s, r))
+
+
+def test_nan_guard(tmp_path, data):
+    model = DiffAb(CFG)
+    trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path))
+    collate = PaddingCollate(buckets=(16,))
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=collate, prefetch=0)
+    batch = next(iter(loader))
+    trainer.init_params(batch)
+    bad = dict(batch)
+    bad['pos_heavyatom'] = np.full_like(batch['pos_heavyatom'], np.nan)
+    with pytest.raises(FloatingPointError):
+        trainer.train_step(bad, jax.random.key(0))
+    import glob
+    assert glob.glob(str(tmp_path / 'nan_dump_*.pkl'))
