@@ -1,0 +1,243 @@
+"""DockQ scoring (native contact kernel + numpy superposition).
+
+Reimplementation of the reference's ``AbDock/DockQ/DockQ.py:98-380`` +
+``DockQ/src/fnat.c`` semantics, torch/Biopython-free:
+
+* contacts: inter-chain residue pairs with any-atom distance < cutoff
+  (5 A for fnat, 10 A for the interface set), computed by the C++ cell-list
+  kernel (fnat_kernel.cc) with a numpy fallback;
+* irms: Kabsch superposition of interface backbone atoms (CA-only mode uses
+  just CA, matching the runners' ``use_CA_only=True``);
+* LRMS: superpose on the receptor (the chain group with more atoms), then
+  plain rms of ligand atoms;
+* DockQ = (fnat + 1/(1+(irms/1.5)^2) + 1/(1+(Lrms/8.5)^2)) / 3.
+
+The model/native structures must be two-chain-group complexes with matching
+residue numbering (the runners' saved CDR+antigen patches are).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ...constants import AA, restype_to_heavyatom_names
+from ...data.pdb import parse_pdb
+
+_LIB_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_LIB_DIR, 'libfnat.so')
+_SRC_PATH = os.path.join(_LIB_DIR, 'fnat_kernel.cc')
+_lib = None
+
+
+def _load_kernel():
+    """Build (once) and load the native contact kernel; None on failure."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                 _SRC_PATH, '-o', _LIB_PATH],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.count_contacts.restype = ctypes.c_int
+        lib.count_contacts.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = False
+    return _lib
+
+
+def _contacts_native(xyz_a, res_a, xyz_b, res_b, cutoff) -> set:
+    lib = _load_kernel()
+    if not lib:
+        return _contacts_numpy(xyz_a, res_a, xyz_b, res_b, cutoff)
+    max_pairs = 262144
+    out = np.zeros((max_pairs, 2), np.int32)
+    n = lib.count_contacts(
+        xyz_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        res_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(res_a),
+        xyz_b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        res_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(res_b),
+        ctypes.c_float(cutoff),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_pairs)
+    return {(int(a), int(b)) for a, b in out[:min(n, max_pairs)]}
+
+
+def _contacts_numpy(xyz_a, res_a, xyz_b, res_b, cutoff) -> set:
+    d2 = ((xyz_a[:, None, :] - xyz_b[None, :, :]) ** 2).sum(-1)
+    ii, jj = np.nonzero(d2 < cutoff * cutoff)
+    return {(int(res_a[i]), int(res_b[j])) for i, j in zip(ii, jj)}
+
+
+def kabsch_rmsd(P: np.ndarray, Q: np.ndarray,
+                apply_to: Optional[np.ndarray] = None):
+    """Least-squares superposition of Q onto P. Returns (rmsd, transformed).
+
+    P, Q: (N, 3). If ``apply_to`` is given, the fitted transform is applied
+    to it and returned instead of Q.
+    """
+    pc, qc = P.mean(0), Q.mean(0)
+    P0, Q0 = P - pc, Q - qc
+    H = Q0.T @ P0
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    D = np.diag([1.0, 1.0, d])
+    R = Vt.T @ D @ U.T
+    Q_fit = Q0 @ R.T + pc
+    rmsd = float(np.sqrt(((Q_fit - P) ** 2).sum() / len(P)))
+    if apply_to is not None:
+        return rmsd, (apply_to - qc) @ R.T + pc
+    return rmsd, Q_fit
+
+
+def plain_rmsd(P: np.ndarray, Q: np.ndarray) -> float:
+    return float(np.sqrt(((P - Q) ** 2).sum() / len(P)))
+
+
+class _Complex:
+    """Two-chain-group view of a parsed structure, keyed by (chain, resseq,
+    icode)."""
+
+    def __init__(self, data, group_of: Dict[str, int]):
+        self.keys: List[Tuple[str, int, str]] = []
+        self.group = []
+        atoms = {}
+        L = data['aa'].shape[0]
+        for i in range(L):
+            key = (data['chain_id'][i], int(data['resseq'][i]), data['icode'][i])
+            self.keys.append(key)
+            self.group.append(group_of[data['chain_id'][i]])
+            names = restype_to_heavyatom_names[AA(int(data['aa'][i]))]
+            for j, name in enumerate(names):
+                if name and data['mask_heavyatom'][i, j]:
+                    atoms[key + (name,)] = data['pos_heavyatom'][i, j]
+        self.atoms = atoms
+        self.res_index = {k: i for i, k in enumerate(self.keys)}
+
+    def atom_arrays(self, group: int):
+        xyz, res = [], []
+        for full_key, pos in self.atoms.items():
+            key = full_key[:3]
+            i = self.res_index[key]
+            if self.group[i] == group:
+                xyz.append(pos)
+                res.append(i)
+        return (np.asarray(xyz, np.float32).reshape(-1, 3),
+                np.asarray(res, np.int32))
+
+
+def _chain_groups(chain_ids_model: Sequence[str]) -> Dict[str, int]:
+    """First chain = group 0 (antibody/ligand side), the rest = group 1.
+
+    The reference assumes exactly two chains (DockQ.py:289-295); the runners'
+    saved patches are CDR-chain + antigen chains, so we generalize to
+    first-vs-rest while preserving two-chain behavior exactly.
+    """
+    uniq = list(dict.fromkeys(chain_ids_model))
+    return {c: (0 if c == uniq[0] else 1) for c in uniq}
+
+
+def calc_dockq(model_path: str, native_path: str,
+               use_ca_only: bool = False) -> Dict[str, float]:
+    """DockQ between a model and native complex (paths or pdb text)."""
+    model, _ = parse_pdb(model_path, is_text='\n' in model_path)
+    native, _ = parse_pdb(native_path, is_text='\n' in native_path)
+
+    groups = _chain_groups(model['chain_id'])
+    cm = _Complex(model, groups)
+    cn = _Complex(native, groups)
+
+    # --- fnat / fnonnat (all-atom contacts at 5 A) ------------------------- #
+    def residue_contacts(cx: _Complex, cutoff: float) -> set:
+        xyz0, res0 = cx.atom_arrays(0)
+        xyz1, res1 = cx.atom_arrays(1)
+        if len(res0) == 0 or len(res1) == 0:
+            return set()
+        pairs = _contacts_native(xyz0, res0, xyz1, res1, cutoff)
+        # Map atom-level residue indices to (chain, resseq, icode) keys so the
+        # model/native sets are comparable.
+        return {(cx.keys[a], cx.keys[b]) for a, b in pairs}
+
+    nat_5 = residue_contacts(cn, 5.0)
+    mod_5 = residue_contacts(cm, 5.0)
+    nat_correct = len(nat_5 & mod_5)
+    nat_total = len(nat_5)
+    nonnat = len(mod_5 - nat_5)
+    model_total = len(mod_5)
+    fnat = nat_correct / nat_total if nat_total else 0.0
+    fnonnat = nonnat / model_total if model_total else 0.0
+
+    # --- interface set (native contacts at 10 A) --------------------------- #
+    nat_10 = residue_contacts(cn, 10.0)
+    interface = set()
+    for a, b in nat_10:
+        interface.add(a)
+        interface.add(b)
+
+    sup_names = ('CA',) if use_ca_only else ('CA', 'C', 'N', 'O')
+
+    def matched_coords(keys_filter):
+        """Atom coords present in both structures, in native iteration order."""
+        P, Q = [], []
+        for key in cn.keys:
+            if key not in cm.res_index or not keys_filter(key):
+                continue
+            for name in sup_names:
+                kn, km = key + (name,), key + (name,)
+                if kn in cn.atoms and km in cm.atoms:
+                    P.append(cn.atoms[kn])
+                    Q.append(cm.atoms[km])
+        return np.asarray(P, np.float64), np.asarray(Q, np.float64)
+
+    # irms: superposition over interface atoms.
+    P_int, Q_int = matched_coords(lambda k: k in interface)
+    if len(P_int) >= 3:
+        irms, _ = kabsch_rmsd(P_int, Q_int)
+    else:
+        irms = float('nan')
+
+    # LRMS: align receptor (larger group by matched atoms), measure ligand.
+    P0, Q0 = matched_coords(lambda k: cn.group[cn.res_index[k]] == 0)
+    P1, Q1 = matched_coords(lambda k: cn.group[cn.res_index[k]] == 1)
+    if len(P0) > len(P1):
+        P_rec, Q_rec, P_lig, Q_lig = P0, Q0, P1, Q1
+    else:
+        P_rec, Q_rec, P_lig, Q_lig = P1, Q1, P0, Q0
+    if len(P_rec) >= 3 and len(P_lig) >= 1:
+        _, Q_lig_fit = kabsch_rmsd(P_rec, Q_rec, apply_to=Q_lig)
+        lrms = plain_rmsd(P_lig, Q_lig_fit)
+    else:
+        lrms = float('nan')
+
+    dockq = (fnat + 1.0 / (1 + (irms / 1.5) ** 2)
+             + 1.0 / (1 + (lrms / 8.5) ** 2)) / 3.0
+
+    return {
+        'DockQ': dockq, 'irms': irms, 'Lrms': lrms, 'fnat': fnat,
+        'fnonnat': fnonnat, 'nat_correct': nat_correct, 'nat_total': nat_total,
+        'nonnat_count': nonnat, 'model_total': model_total,
+    }
+
+
+def capri_class(dockq: float, fnat: float = None) -> str:
+    """CAPRI quality class from DockQ (ref DockQ.py:51-95)."""
+    if dockq < 0.23:
+        return 'Incorrect'
+    if dockq < 0.49:
+        return 'Acceptable'
+    if dockq < 0.80:
+        return 'Medium'
+    return 'High'

@@ -1,0 +1,135 @@
+"""DockQ + metrics tests (self-consistency; the reference binary needs
+Biopython so golden comparison is structural, not numeric)."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from ab_opt_tpu.data import parse_pdb, save_pdb
+from ab_opt_tpu.metrics import (
+    amino_acid_recovery,
+    average_pairwise_rmsd,
+    ca_rmsd,
+    global_align_identity,
+    pairwise_structure_rmsd,
+    rank_commonness,
+)
+from ab_opt_tpu.tools.dockq import calc_dockq, capri_class, kabsch_rmsd
+from ab_opt_tpu.tools.dockq.dockq import (
+    _contacts_numpy,
+    _contacts_native,
+    _load_kernel,
+)
+
+EXAMPLES = pathlib.Path('/root/reference/AbDock/data/examples')
+PDB = EXAMPLES / '7DK2_AB_C.pdb'
+
+pytestmark = pytest.mark.skipif(not PDB.exists(), reason='examples unavailable')
+
+
+@pytest.fixture(scope='module')
+def two_chain_pdb(tmp_path_factory):
+    """Chain A (antibody) + chain C (antigen) complex."""
+    tmp = tmp_path_factory.mktemp('dockq')
+    data, _ = parse_pdb(str(PDB), chain_ids=['A', 'C'])
+    native = tmp / 'native.pdb'
+    save_pdb(data, str(native))
+    return data, native, tmp
+
+
+class TestNativeKernel:
+    def test_matches_numpy(self, rng):
+        if not _load_kernel():
+            pytest.skip('native kernel unavailable')
+        xyz_a = (rng.random((300, 3)) * 30).astype(np.float32)
+        xyz_b = (rng.random((400, 3)) * 30 + 5).astype(np.float32)
+        res_a = rng.integers(0, 40, 300).astype(np.int32)
+        res_b = (rng.integers(0, 50, 400) + 100).astype(np.int32)
+        got = _contacts_native(xyz_a, res_a, xyz_b, res_b, 5.0)
+        expect = _contacts_numpy(xyz_a, res_a, xyz_b, res_b, 5.0)
+        assert got == expect
+
+
+class TestDockQ:
+    def test_perfect_model(self, two_chain_pdb):
+        _, native, _ = two_chain_pdb
+        res = calc_dockq(str(native), str(native), use_ca_only=True)
+        assert res['fnat'] == pytest.approx(1.0)
+        assert res['irms'] == pytest.approx(0.0, abs=1e-6)
+        assert res['Lrms'] == pytest.approx(0.0, abs=1e-6)
+        assert res['DockQ'] == pytest.approx(1.0, abs=1e-6)
+        assert capri_class(res['DockQ']) == 'High'
+        assert res['nat_total'] > 0
+
+    def test_perturbed_monotonic(self, two_chain_pdb):
+        data, native, tmp = two_chain_pdb
+        scores = []
+        for shift in (1.0, 4.0, 12.0):
+            pert = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                    for k, v in data.items()}
+            is_ab = np.asarray([c == 'A' for c in data['chain_id']])
+            pert['pos_heavyatom'] = data['pos_heavyatom'].copy()
+            pert['pos_heavyatom'][is_ab] += np.float32(shift)
+            p = tmp / f'pert_{shift}.pdb'
+            save_pdb(pert, str(p))
+            res = calc_dockq(str(p), str(native), use_ca_only=True)
+            scores.append(res['DockQ'])
+        assert scores[0] > scores[1] > scores[2]
+        assert scores[0] < 1.0
+
+    def test_rigid_motion_of_whole_complex_is_perfect(self, two_chain_pdb):
+        """A global rigid transform must not change DockQ (alignment-based)."""
+        data, native, tmp = two_chain_pdb
+        theta = 0.7
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+        moved = dict(data)
+        moved['pos_heavyatom'] = data['pos_heavyatom'] @ R.T + 5.0
+        p = tmp / 'moved.pdb'
+        save_pdb(moved, str(p))
+        res = calc_dockq(str(p), str(native), use_ca_only=True)
+        assert res['fnat'] == pytest.approx(1.0)
+        assert res['irms'] < 0.02
+        assert res['Lrms'] < 0.05
+        assert res['DockQ'] > 0.999
+
+
+class TestKabsch:
+    def test_recovers_rotation(self, rng):
+        P = rng.normal(size=(50, 3))
+        theta = 1.0
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
+        Q = P @ R.T + np.array([1.0, -2.0, 3.0])
+        rmsd, _ = kabsch_rmsd(P, Q)
+        assert rmsd < 1e-8
+
+
+class TestMetrics:
+    def test_aar(self):
+        assert amino_acid_recovery([1, 2, 3, 4], [1, 2, 0, 4]) == 0.75
+
+    def test_ca_rmsd(self):
+        a = np.zeros((5, 3))
+        b = np.ones((5, 3))
+        assert ca_rmsd(a, b) == pytest.approx(np.sqrt(3))
+
+    def test_rank_commonness(self, rng):
+        base = rng.normal(size=(10, 3))
+        cluster = base + rng.normal(size=(6, 10, 3)) * 0.05
+        outlier = base + 5.0
+        structures = np.concatenate([cluster, outlier[None]], axis=0)
+        top = rank_commonness(structures, 2)
+        assert 6 not in top
+        assert average_pairwise_rmsd(structures) > 0
+        rmsd = pairwise_structure_rmsd(structures)
+        assert rmsd.shape == (7, 7)
+        np.testing.assert_allclose(np.diag(rmsd), 0, atol=1e-9)
+
+    def test_align_identity(self):
+        s = np.array([0, 1, 2, 3, 4, 5, 6, 7])
+        assert global_align_identity(s, s) == pytest.approx(1.0)
+        assert global_align_identity(s, s[::-1]) < 0.5
+        # One substitution.
+        s2 = s.copy(); s2[3] = 9
+        assert global_align_identity(s, s2) == pytest.approx(7 / 8)
