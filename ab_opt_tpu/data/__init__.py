@@ -17,5 +17,11 @@ from .transforms import (
     generate_random_mask,
 )
 from .collate import PaddingCollate, apply_patch_to_tensor, to_device_batch
+from ._registry import get_dataset, register_dataset
+from .loader import DataLoader, TransformedDataset, inf_iterator
+from . import custom as _custom   # noqa: F401  (registers 'custom')
+from . import sabdab as _sabdab   # noqa: F401  (registers 'sabdab')
+from .sabdab import SAbDabDataset
+from .custom import CustomDataset
 
 __all__ = [k for k in dir() if not k.startswith('_')]

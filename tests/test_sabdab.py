@@ -1,0 +1,117 @@
+"""SAbDab dataset tests using a fabricated mini-SAbDab built from the
+reference's example chothia PDBs."""
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from ab_opt_tpu.data import get_dataset
+from ab_opt_tpu.data.sabdab import (
+    SAbDabDataset,
+    greedy_cluster,
+    load_sabdab_entries,
+    parse_sabdab_resolution,
+)
+
+EXAMPLES = pathlib.Path('/root/reference/AbDock/data/examples')
+
+ROWS = [
+    # pdb, H, L, ag_chain, ag_type, ag_name, date, resolution
+    ('7dk2', 'A', 'B', 'C', 'protein', 'sars-cov-2 receptor binding domain',
+     '01/01/21', '2.5'),
+    ('5mes', 'H', 'L', 'A', 'protein', 'some antigen', '01/01/17', '3.0'),
+    ('7bsd', 'A', 'B', 'G', 'protein', 'another antigen', '02/02/21', '2.0'),
+]
+
+SRC = {
+    '7dk2': EXAMPLES / '7DK2_AB_C_chothia.pdb',
+    '5mes': EXAMPLES / '5mes_H_L_A_chothia.pdb',
+    '7bsd': EXAMPLES / '7bsd_A_B_G_chothia.pdb',
+}
+
+pytestmark = pytest.mark.skipif(not EXAMPLES.exists(),
+                                reason='examples unavailable')
+
+
+@pytest.fixture(scope='module')
+def mini_sabdab(tmp_path_factory):
+    root = tmp_path_factory.mktemp('sabdab')
+    chothia = root / 'chothia'
+    chothia.mkdir()
+    for code, src in SRC.items():
+        shutil.copy(src, chothia / f'{code}.pdb')
+    tsv = root / 'summary.tsv'
+    header = 'pdb\tHchain\tLchain\tmodel\tantigen_chain\tantigen_type\tantigen_het_name\tantigen_name\tdate\tresolution\tmethod\tscfv\n'
+    lines = [header]
+    for pdb, h, l, ag, agt, agn, date, res in ROWS:
+        lines.append(f'{pdb}\t{h}\t{l}\t0\t{ag}\t{agt}\tNA\t{agn}\t{date}\t{res}\tX-RAY\tFalse\n')
+    tsv.write_text(''.join(lines))
+    return root
+
+
+def test_resolution_parsing():
+    assert parse_sabdab_resolution('2.5') == 2.5
+    assert parse_sabdab_resolution('2.5, 3.0') == 2.5
+    assert parse_sabdab_resolution('NOT') is None
+    assert parse_sabdab_resolution(float('nan')) is None
+
+
+def test_entries_filtering(mini_sabdab):
+    entries = load_sabdab_entries(str(mini_sabdab / 'summary.tsv'))
+    assert len(entries) == 3
+    assert entries[0]['id'] == '7dk2_A_B_C'
+    assert entries[0]['ag_chains'] == ['C']
+
+
+def test_greedy_cluster():
+    seqs = {'a': 'ARDYYGSSYFDY', 'b': 'ARDYYGSSYFDV', 'c': 'TTTTTTTT',
+            'd': 'ARDYYGSSYFDY'}
+    asn = greedy_cluster(seqs)
+    assert asn['a'] == asn['b'] == asn['d']
+    assert asn['c'] != asn['a']
+
+
+def test_dataset_splits_and_items(mini_sabdab):
+    common = dict(summary_path=str(mini_sabdab / 'summary.tsv'),
+                  chothia_dir=str(mini_sabdab / 'chothia'),
+                  processed_dir=str(mini_sabdab / 'processed'))
+    ds_test = SAbDabDataset(split='test', **common)
+    # 7dk2's antigen name is in TEST_ANTIGENS.
+    assert ds_test.ids_in_split == ['7dk2_A_B_C']
+
+    ds_train = SAbDabDataset(split='train', **common)
+    ds_val = SAbDabDataset(split='val', **common)
+    train_val = set(ds_train.ids_in_split) | set(ds_val.ids_in_split)
+    assert '7dk2_A_B_C' not in train_val
+    # 5mes is in the dock_test list -> excluded from train/val too.
+    assert '5mes_H_L_A' not in train_val
+    assert '7bsd_A_B_G' in train_val
+
+    ds_dock = SAbDabDataset(split='dock_test', **common)
+    assert ds_dock.ids_in_split == ['5mes_H_L_A']
+
+    item = ds_test[0]
+    assert item['heavy'] is not None
+    assert item['heavy']['H3_seq'] != ''
+
+
+def test_dataset_with_transform_via_registry(mini_sabdab):
+    cfg = {
+        'type': 'sabdab',
+        'summary_path': str(mini_sabdab / 'summary.tsv'),
+        'chothia_dir': str(mini_sabdab / 'chothia'),
+        'processed_dir': str(mini_sabdab / 'processed'),
+        # With <= 20 train/val ids everything lands in 'val' (val = first 20).
+        'split': 'val',
+        'transform': [
+            {'type': 'mask_single_cdr', 'selection': 'H_CDR3'},
+            {'type': 'merge_chains'},
+            {'type': 'patch_around_anchor', 'initial_patch_size': 0,
+             'antigen_size': 16, 'remove_anchor': True},
+        ],
+    }
+    ds = get_dataset(cfg)
+    item = ds[0]
+    assert 'patch_idx' in item
+    assert item['generate_flag'].sum() > 0
