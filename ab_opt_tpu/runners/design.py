@@ -259,6 +259,21 @@ def design_for_pdb(args: DesignArgs) -> Dict:
                            f'{structure_id}_{args.tag}'.rstrip('_'))
     os.makedirs(log_dir, exist_ok=True)
 
+    return design_for_structure(structure, model, params, cfg, args, log_dir,
+                                rng)
+
+
+def design_for_structure(structure, model, params, cfg: Dict,
+                         args: DesignArgs, log_dir: str,
+                         rng: Optional[np.random.Generator] = None) -> Dict:
+    """Run the variant loop for an already-preprocessed structure.
+
+    Used directly by the testset runner (dataset structures) and by
+    :func:`design_for_pdb` (parsed files).
+    """
+    rng = rng or np.random.default_rng(args.seed)
+    mode = cfg.get('mode', 'single_cdr')
+    sampling_cfg = dict(cfg.get('sampling', {}))
     variants = create_data_variants(mode, sampling_cfg, structure, rng)
 
     # Inference crop: patch around anchor (+ optional native wipe).
