@@ -255,41 +255,45 @@ backbone_atom_coordinates, bb_oxygen_coordinate = _build_ideal_tables()
 
 
 class Hydropathy(enum.IntEnum):
-    Hydrophilic = 0
-    Neutral = 1
-    Hydrophobic = 2
-    Unknown = 3
+    """0 reserved for padding (embedding padding_idx)."""
+
+    hydrophilic = 1
+    moderate = 2
+    unknown = 3
 
 
 class Charge(enum.IntEnum):
-    Negative = 0
-    Neutral = 1
-    Positive = 2
-    Unknown = 3
+    positive = 1
+    negative = 2
+    neutral = 3
+    unknown = 4
 
 
-_HYDROPATHY = {
-    Hydropathy.Hydrophobic: 'AVILMFWC',
-    Hydropathy.Neutral: 'GPSTY',
-    Hydropathy.Hydrophilic: 'RKDENQH',
-}
-_CHARGE = {
-    Charge.Positive: 'RKH',
-    Charge.Negative: 'DE',
-}
+# Only C/H/M are labeled 'moderate'; everything else 'hydrophilic'
+# (AbDesign constants.py:20-42, reproduced for conditioning parity).
+_HYDROPATHY_MODERATE = 'CHM'
+_CHARGE_POSITIVE = 'RKH'
+_CHARGE_NEGATIVE = 'DE'
+
+hydropathy_to_char = {Hydropathy.hydrophilic: '+', Hydropathy.moderate: '-',
+                      Hydropathy.unknown: '?'}
+charge_to_char = {Charge.positive: '+', Charge.negative: '-',
+                  Charge.neutral: '=', Charge.unknown: '?'}
 
 
 def _build_property_tables():
-    hyd = np.full((MAX_AA_TYPES,), int(Hydropathy.Unknown), dtype=np.int32)
-    chg = np.full((MAX_AA_TYPES,), int(Charge.Unknown), dtype=np.int32)
-    for level, symbols in _HYDROPATHY.items():
-        for s in symbols:
-            hyd[ressymb_to_resindex[s]] = int(level)
+    hyd = np.full((MAX_AA_TYPES,), int(Hydropathy.unknown), dtype=np.int32)
+    chg = np.full((MAX_AA_TYPES,), int(Charge.unknown), dtype=np.int32)
     for i in range(20):
-        chg[i] = int(Charge.Neutral)
-    for level, symbols in _CHARGE.items():
-        for s in symbols:
-            chg[ressymb_to_resindex[s]] = int(level)
+        sym = resindex_to_ressymb[i]
+        hyd[i] = int(Hydropathy.moderate if sym in _HYDROPATHY_MODERATE
+                     else Hydropathy.hydrophilic)
+        if sym in _CHARGE_POSITIVE:
+            chg[i] = int(Charge.positive)
+        elif sym in _CHARGE_NEGATIVE:
+            chg[i] = int(Charge.negative)
+        else:
+            chg[i] = int(Charge.neutral)
     return hyd, chg
 
 

@@ -48,10 +48,11 @@ class Compose:
 
 
 def _call_transform(t, data, rng):
-    try:
+    import inspect
+    params = inspect.signature(t.__call__).parameters
+    if 'rng' in params:
         return t(data, rng=rng)
-    except TypeError:
-        return t(data)
+    return t(data)
 
 
 class DISTVIOLATION(Exception):
@@ -426,3 +427,117 @@ class RemoveNative:
             data['pos_heavyatom'] = np.where(flag[:, None, None], noise,
                                              data['pos_heavyatom'])
         return data
+
+
+# --------------------------------------------------------------------------- #
+# AbDesign extras: property labels, structure filters, hotspot patching
+# --------------------------------------------------------------------------- #
+
+
+@register_transform('aa_label')
+class Label:
+    """Hydropathy/charge labels on the generate region with random label
+    dropout (classifier-free-style conditioning; AbDesign label.py:7-38)."""
+
+    def __init__(self, hydropathy=False, charge=False, drop_prob=0.0):
+        from ..constants import aa_hydropathy_table, aa_charge_table, Hydropathy, Charge
+        self.hydropathy = hydropathy
+        self.charge = charge
+        self.drop_prob = drop_prob
+        self._hyd_table = aa_hydropathy_table
+        self._chg_table = aa_charge_table
+        self._hyd_unknown = int(Hydropathy.unknown)
+        self._chg_unknown = int(Charge.unknown)
+
+    def __call__(self, data, rng):
+        flags = data['generate_flag']
+        aa = data['aa']
+        hyd = np.full_like(aa, self._hyd_unknown)
+        if self.hydropathy:
+            lab = self._hyd_table[aa[flags]]
+            if self.drop_prob > 0:
+                lab = np.where(rng.random(lab.shape) < self.drop_prob,
+                               self._hyd_unknown, lab)
+            hyd[flags] = lab
+        data['hydropathy'] = hyd
+
+        chg = np.full_like(aa, self._chg_unknown)
+        if self.charge:
+            lab = self._chg_table[aa[flags]]
+            if self.drop_prob > 0:
+                lab = np.where(rng.random(lab.shape) < self.drop_prob,
+                               self._chg_unknown, lab)
+            chg[flags] = lab
+        data['charge'] = chg
+        return data
+
+
+@register_transform('filter_structure')
+class FilterStructure:
+    """Exception-driven skipping of structures missing required chains
+    (AbDesign filter_structure.py:9)."""
+
+    def __init__(self, must_have_antigen=False, must_have_heavy=False,
+                 must_have_light=False):
+        self.must_have_antigen = must_have_antigen
+        self.must_have_heavy = must_have_heavy
+        self.must_have_light = must_have_light
+
+    def __call__(self, structure):
+        if self.must_have_antigen and structure.get('antigen') is None:
+            raise DISTVIOLATION('missing antigen')
+        if self.must_have_heavy and structure.get('heavy') is None:
+            raise DISTVIOLATION('missing heavy chain')
+        if self.must_have_light and structure.get('light') is None:
+            raise DISTVIOLATION('missing light chain')
+        return structure
+
+
+@register_transform('patch_around_anchor_hotspot')
+class PatchAroundAnchorHotspot(PatchAroundAnchor):
+    """AbDesign patch variant: additionally labels the top-k antigen residues
+    closest to the CDR as hotspots (AbDesign patch.py:60-100).
+
+    Emits hotspot_label (2 hotspot / 1 not / 0 pad), hotspot_distance,
+    antigen_hotspots, and to_hotspot_dist before cropping.
+    """
+
+    def __init__(self, max_nb_hotspots=1, max_distance=20, hotspot_cutoff=None,
+                 **kw):
+        super().__init__(**kw)
+        self.max_nb_hotspots = int(max_nb_hotspots)
+        self.max_distance = int(max_distance)
+        self.hotspot_cutoff = hotspot_cutoff
+
+    def __call__(self, data):
+        antigen_mask = data['fragment_type'] == int(Fragment.Antigen)
+        pos_alpha = data['pos_heavyatom'][:, BBHeavyAtom.CA]
+        cdr_points = pos_alpha[data['generate_flag']]
+        if antigen_mask.any() and len(cdr_points):
+            dist_cdr = np.linalg.norm(
+                pos_alpha[:, None] - cdr_points[None, :], axis=-1).min(axis=1)
+            dist_cdr = np.where(antigen_mask, dist_cdr, np.inf)
+            if (self.hotspot_cutoff is not None
+                    and dist_cdr.min() > self.hotspot_cutoff):
+                raise DISTVIOLATION('No interaction pairs within hotspot cutoff')
+            k = max(1, self.max_nb_hotspots)
+            k = min(k, int(antigen_mask.sum()))
+            nearest = np.argsort(dist_cdr)[:k]
+
+            hotspot_label = np.ones_like(data['aa'])
+            hotspot_distance = np.ones_like(data['aa'])
+            if self.max_nb_hotspots > 0:
+                hotspot_label[nearest] = 2
+                hotspot_distance[nearest] = np.clip(
+                    np.floor(dist_cdr[nearest]).astype(np.int64), 1,
+                    self.max_distance - 1)
+            data['hotspot_label'] = hotspot_label
+            data['hotspot_distance'] = hotspot_distance
+            data['antigen_hotspots'] = hotspot_label.copy()
+            to_dist = np.zeros(data['aa'].shape, np.float32)
+            to_dist[nearest] = dist_cdr[nearest]
+            data['to_hotspot_dist'] = to_dist
+        else:
+            data['hotspot_label'] = np.ones_like(data['aa'])
+            data['hotspot_distance'] = np.ones_like(data['aa'])
+        return super().__call__(data)

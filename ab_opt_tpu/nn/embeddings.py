@@ -40,7 +40,8 @@ class ResidueEmbedding(nn.Module):
     @nn.compact
     def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms, fragment_type,
                  structure_mask: Optional[jnp.ndarray] = None,
-                 sequence_mask: Optional[jnp.ndarray] = None):
+                 sequence_mask: Optional[jnp.ndarray] = None,
+                 hotspot: Optional[jnp.ndarray] = None):
         """
         Args:
           aa: (N, L) int; pos_atoms: (N, L, A, 3); mask_atoms: (N, L, A);
@@ -93,9 +94,15 @@ class ResidueEmbedding(nn.Module):
         type_feat = nn.Embed(10, self.feat_dim, dtype=self.dtype)(fragment_type)
         type_feat = type_feat * (fragment_type > 0)[..., None]
 
+        feats = [aa_feat, crd_feat, dihed_feat, type_feat]
+        if hotspot is not None:
+            # AbDesign hotspot conditioning (AbDesign residue.py:19-21,97-101);
+            # codes: 1 non-hotspot, 2 hotspot, 0 padding.
+            hs_feat = nn.Embed(10, self.feat_dim, dtype=self.dtype)(hotspot)
+            feats.append(hs_feat * (hotspot > 0)[..., None])
+
         out = MLP((self.feat_dim * 2, self.feat_dim, self.feat_dim, self.feat_dim),
-                  dtype=self.dtype)(
-            jnp.concatenate([aa_feat, crd_feat, dihed_feat, type_feat], axis=-1))
+                  dtype=self.dtype)(jnp.concatenate(feats, axis=-1))
         return out * mask_residue[:, :, None]
 
 
