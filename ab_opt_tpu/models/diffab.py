@@ -112,9 +112,9 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res):
+                     mask_generate, mask_res, pair_biases=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
-                            mask_generate, mask_res)
+                            mask_generate, mask_res, pair_biases=pair_biases)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -156,6 +156,22 @@ class DiffAb:
     def encode(self, params, batch, remove_structure: bool, remove_sequence: bool):
         return self.net.apply(params, batch, remove_structure, remove_sequence,
                               method=DiffAbNet.encode)
+
+    def precompute_pair_biases(self, params, pair_feat):
+        """Per-block pair-attention biases (N, L, L, num_layers, H).
+
+        The pair features are frozen during the reverse loop, so each
+        GABlock's proj_pair_bias projection is hoisted out of the scan: one
+        fused einsum here replaces num_layers Dense(z) reads per step
+        (~halves HBM traffic of sampling at typical sizes).
+        """
+        blocks = params['params']['eps_net']['encoder']
+        kernels = []
+        n_layers = self.cfg.num_layers
+        for i in range(n_layers):
+            kernels.append(blocks[f'block_{i}']['proj_pair_bias']['kernel'])
+        kernel = jnp.stack(kernels, axis=1)              # (C, layers, H)
+        return jnp.einsum('nijc,clh->nijlh', pair_feat, kernel)
 
     # ----------------------------------------------------------------- train
 
@@ -237,6 +253,7 @@ class DiffAb:
                       sample_structure: bool, sample_sequence: bool,
                       keep_traj: bool):
         """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
+        pair_biases = self.precompute_pair_biases(params, pair_feat)
 
         def step(carry, t):
             v_t, p_t, s_t, key = carry
@@ -247,7 +264,8 @@ class DiffAb:
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                mask_generate, mask_res, method=DiffAbNet.denoise_step)
+                mask_generate, mask_res, pair_biases,
+                method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)
             if self.cfg.obj == 'pred_x0':

@@ -38,7 +38,7 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res):
+                 mask_generate, mask_res, pair_biases=None):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
@@ -56,7 +56,8 @@ class EpsilonNet(nn.Module):
 
         res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
                              ga_block_opt=self.encoder_opt, dtype=self.dtype,
-                             name='encoder')(R, p_t, res_feat, pair_feat, mask_res)
+                             name='encoder')(R, p_t, res_feat, pair_feat,
+                                             mask_res, pair_biases=pair_biases)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

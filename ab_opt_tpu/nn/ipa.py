@@ -46,11 +46,14 @@ class GABlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, R, t, x, z, mask):
+    def __call__(self, R, t, x, z, mask, pair_bias=None):
         """
         Args:
           R: (N, L, 3, 3) frame bases; t: (N, L, 3) frame origins;
-          x: (N, L, F) node feats; z: (N, L, L, C) pair feats; mask: (N, L).
+          x: (N, L, F) node feats; z: (N, L, L, C) pair feats; mask: (N, L);
+          pair_bias: optional precomputed (N, L, L, H) pair-attention bias —
+            it is constant across diffusion steps, so samplers hoist it out
+            of the reverse scan (see EpsilonNet.compute_pair_bias).
         Returns: updated node feats (N, L, F).
         """
         N, L = x.shape[:2]
@@ -64,7 +67,9 @@ class GABlock(nn.Module):
         k = dense(H * QK, 'proj_key')(x).reshape(N, L, H, QK)
         logits_node = jnp.einsum('nihc,njhc->nijh', q, k) / math.sqrt(QK)
 
-        logits_pair = dense(H, 'proj_pair_bias')(z)            # (N, L, L, H)
+        if pair_bias is None:
+            pair_bias = dense(H, 'proj_pair_bias')(z)          # (N, L, L, H)
+        logits_pair = pair_bias
 
         qp = dense(H * P * 3, 'proj_query_point')(x).reshape(N, L, H * P, 3)
         kp = dense(H * P * 3, 'proj_key_point')(x).reshape(N, L, H * P, 3)
@@ -82,7 +87,10 @@ class GABlock(nn.Module):
         logits_spatial = sum_sq_dist * (-gamma * math.sqrt(2.0 / (9.0 * P)) / 2.0)
 
         logits_sum = (logits_node + logits_pair + logits_spatial) * math.sqrt(1 / 3)
-        alpha = _masked_softmax(logits_sum, mask.astype(bool), axis=2)  # (N, L, L, H)
+        # Softmax in f32 for stability, attention weights back in compute dtype.
+        alpha = _masked_softmax(logits_sum.astype(jnp.float32),
+                                mask.astype(bool), axis=2)     # (N, L, L, H)
+        alpha = alpha.astype(self.dtype)
 
         # --- Aggregation -----------------------------------------------------
         feat_p2n = jnp.einsum('nijh,nijc->nihc', alpha, z).reshape(N, L, -1)
@@ -119,7 +127,11 @@ class GABlock(nn.Module):
 
 
 class GAEncoder(nn.Module):
-    """Stack of GABlocks (ref ga.py:181-193)."""
+    """Stack of GABlocks (ref ga.py:181-193).
+
+    ``pair_biases``: optional precomputed per-block pair-attention biases
+    (N, L, L, num_layers, H) — hoisted out of the sampling scan.
+    """
 
     node_feat_dim: int
     pair_feat_dim: int
@@ -128,10 +140,11 @@ class GAEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, R, t, res_feat, pair_feat, mask):
+    def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None):
         opt = dict(self.ga_block_opt or {})
         for i in range(self.num_layers):
+            bias_i = None if pair_biases is None else pair_biases[..., i, :]
             res_feat = GABlock(self.node_feat_dim, self.pair_feat_dim,
                                dtype=self.dtype, name=f'block_{i}', **opt)(
-                R, t, res_feat, pair_feat, mask)
+                R, t, res_feat, pair_feat, mask, pair_bias=bias_i)
         return res_feat

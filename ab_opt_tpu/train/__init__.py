@@ -7,5 +7,6 @@ from .trainer import (
     build_optimizer,
     build_scheduler,
 )
+from .sampling_eval import BestCheckpointTracker, evaluate_samples
 
 __all__ = [k for k in dir() if not k.startswith('_')]
