@@ -49,6 +49,7 @@ class DiffAbConfig:
     position_scale: Tuple[float, ...] = (10.0,)
     seed: int = 0
     dtype: str = 'float32'             # compute dtype for dense layers
+    ipa_impl: str = 'auto'             # 'auto' | 'einsum' | 'pallas'
 
     @property
     def compute_dtype(self):
@@ -83,8 +84,12 @@ class DiffAbNet(nn.Module):
         dt = c.compute_dtype
         self.residue_embed = ResidueEmbedding(c.res_feat_dim, c.num_atoms, dtype=dt)
         self.pair_embed = PairEmbedding(c.pair_feat_dim, c.num_atoms, dtype=dt)
+        use_pallas = (c.ipa_impl == 'pallas'
+                      or (c.ipa_impl == 'auto'
+                          and jax.default_backend() == 'tpu'))
         self.eps_net = EpsilonNet(c.res_feat_dim, c.pair_feat_dim, c.num_layers,
-                                  num_bins=c.num_bins, dtype=dt)
+                                  num_bins=c.num_bins, dtype=dt,
+                                  use_pallas=use_pallas)
 
     def encode(self, batch, remove_structure: bool, remove_sequence: bool):
         """Build res/pair features + frames with leak-proof context masks
@@ -135,6 +140,9 @@ class DiffAb:
             cfg = DiffAbConfig.from_dict(cfg)
         self.cfg = cfg
         self.net = DiffAbNet(cfg)
+        self._use_pallas = (cfg.ipa_impl == 'pallas'
+                            or (cfg.ipa_impl == 'auto'
+                                and jax.default_backend() == 'tpu'))
         self.trans_rot = RotationTransition.create(cfg.num_steps)
         self.trans_pos = PositionTransition.create(cfg.num_steps)
         self.trans_seq = SequenceTransition.create(cfg.num_steps)
@@ -170,8 +178,9 @@ class DiffAb:
         n_layers = self.cfg.num_layers
         for i in range(n_layers):
             kernels.append(blocks[f'block_{i}']['proj_pair_bias']['kernel'])
-        kernel = jnp.stack(kernels, axis=1)              # (C, layers, H)
-        return jnp.einsum('nijc,clh->nijlh', pair_feat, kernel)
+        kernel = jnp.stack(kernels, axis=0)              # (layers, C, H)
+        # Leading block axis -> contiguous (N, L, L, H) slices inside the scan.
+        return jnp.einsum('nijc,lch->lnijh', pair_feat, kernel)
 
     # ----------------------------------------------------------------- train
 
@@ -253,7 +262,10 @@ class DiffAb:
                       sample_structure: bool, sample_sequence: bool,
                       keep_traj: bool):
         """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
-        pair_biases = self.precompute_pair_biases(params, pair_feat)
+        # Measured on v5e: XLA fuses the inline per-block bias projection
+        # better than reading a precomputed (layers, N, L, L, H) tensor, so no
+        # hoisting here; the pallas kernel computes the bias in-VMEM instead.
+        pair_biases = None
 
         def step(carry, t):
             v_t, p_t, s_t, key = carry

@@ -35,6 +35,7 @@ class EpsilonNet(nn.Module):
     num_bins: int = 20
     encoder_opt: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
@@ -56,6 +57,7 @@ class EpsilonNet(nn.Module):
 
         res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
                              ga_block_opt=self.encoder_opt, dtype=self.dtype,
+                             use_pallas=self.use_pallas,
                              name='encoder')(R, p_t, res_feat, pair_feat,
                                              mask_res, pair_biases=pair_biases)
 

@@ -21,7 +21,10 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from ..geometry import global_to_local, local_to_global, normalize_vector
+from ..ops.ipa_pallas import fused_ipa_attention
 
 
 def _masked_softmax(logits, mask, axis, inf=1e5):
@@ -44,9 +47,10 @@ class GABlock(nn.Module):
     num_heads: int = 12
     bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, R, t, x, z, mask, pair_bias=None):
+    def __call__(self, R, t, x, z, mask, pair_bias=None, zT=None):
         """
         Args:
           R: (N, L, 3, 3) frame bases; t: (N, L, 3) frame origins;
@@ -62,46 +66,71 @@ class GABlock(nn.Module):
         dense = lambda f, name: nn.Dense(f, use_bias=self.bias, name=name,
                                          dtype=self.dtype)
 
-        # --- Attention logits ------------------------------------------------
-        q = dense(H * QK, 'proj_query')(x).reshape(N, L, H, QK)
-        k = dense(H * QK, 'proj_key')(x).reshape(N, L, H, QK)
-        logits_node = jnp.einsum('nihc,njhc->nijh', q, k) / math.sqrt(QK)
-
-        if pair_bias is None:
-            pair_bias = dense(H, 'proj_pair_bias')(z)          # (N, L, L, H)
-        logits_pair = pair_bias
-
+        # --- Projections -----------------------------------------------------
+        q = dense(H * QK, 'proj_query')(x)
+        k = dense(H * QK, 'proj_key')(x)
+        v = dense(H * V, 'proj_value')(x)
         qp = dense(H * P * 3, 'proj_query_point')(x).reshape(N, L, H * P, 3)
         kp = dense(H * P * 3, 'proj_key_point')(x).reshape(N, L, H * P, 3)
-        qp = local_to_global(R, t, qp).reshape(N, L, H, P * 3)
-        kp = local_to_global(R, t, kp).reshape(N, L, H, P * 3)
-        sq_q = jnp.sum(qp * qp, axis=-1)                       # (N, L, H)
-        sq_k = jnp.sum(kp * kp, axis=-1)
-        cross = jnp.einsum('nihc,njhc->nijh', qp, kp)
-        sum_sq_dist = sq_q[:, :, None, :] + sq_k[:, None, :, :] - 2.0 * cross
+        vp = dense(H * PV * 3, 'proj_value_point')(x).reshape(N, L, H * PV, 3)
+        qp = local_to_global(R, t, qp).reshape(N, L, H * P * 3)
+        kp = local_to_global(R, t, kp).reshape(N, L, H * P * 3)
+        vp_g = local_to_global(R, t, vp.reshape(N, L, H * PV, 3))
 
         gamma_raw = self.param(
             'spatial_coef',
             nn.initializers.constant(math.log(math.exp(1.0) - 1.0)), (1, 1, 1, H))
-        gamma = nn.softplus(gamma_raw.astype(sum_sq_dist.dtype))
-        logits_spatial = sum_sq_dist * (-gamma * math.sqrt(2.0 / (9.0 * P)) / 2.0)
+        gamma = nn.softplus(gamma_raw.astype(jnp.float32))
+        spatial_coef = (-gamma * math.sqrt(2.0 / (9.0 * P)) / 2.0)
 
-        logits_sum = (logits_node + logits_pair + logits_spatial) * math.sqrt(1 / 3)
-        # Softmax in f32 for stability, attention weights back in compute dtype.
-        alpha = _masked_softmax(logits_sum.astype(jnp.float32),
-                                mask.astype(bool), axis=2)     # (N, L, L, H)
-        alpha = alpha.astype(self.dtype)
+        bias_dense = nn.Dense(H, use_bias=self.bias, name='proj_pair_bias',
+                              dtype=self.dtype)
 
-        # --- Aggregation -----------------------------------------------------
-        feat_p2n = jnp.einsum('nijh,nijc->nihc', alpha, z).reshape(N, L, -1)
+        if self.use_pallas:
+            # Fused kernel path: logits+softmax+aggregation in VMEM, pair
+            # features streamed once (ab_opt_tpu/ops/ipa_pallas.py).
+            assert not self.bias, 'pallas IPA path assumes bias-free projections'
+            pair_w = bias_dense(jnp.eye(z.shape[-1], dtype=self.dtype))
+            if zT is None:
+                zT = jnp.swapaxes(z, -1, -2)               # (N, L, C, L)
+            interp = jax.default_backend() != 'tpu'
+            feat_p2n, feat_node, pts = fused_ipa_attention(
+                q, k, qp, kp, v, vp_g.reshape(N, L, H * PV * 3), zT,
+                pair_w, spatial_coef.reshape(H), mask.astype(jnp.float32),
+                interpret=interp)
+            aggr = pts.reshape(N, L, H, PV, 3)
+            feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
+        else:
+            q = q.reshape(N, L, H, QK)
+            k = k.reshape(N, L, H, QK)
+            v = v.reshape(N, L, H, V)
+            qp_h = qp.reshape(N, L, H, P * 3)
+            kp_h = kp.reshape(N, L, H, P * 3)
 
-        v = dense(H * V, 'proj_value')(x).reshape(N, L, H, V)
-        feat_node = jnp.einsum('nijh,njhc->nihc', alpha, v).reshape(N, L, -1)
+            logits_node = jnp.einsum('nihc,njhc->nijh', q, k) / math.sqrt(QK)
+            if pair_bias is None:
+                pair_bias = bias_dense(z)                  # (N, L, L, H)
+            logits_pair = pair_bias
 
-        vp = dense(H * PV * 3, 'proj_value_point')(x).reshape(N, L, H * PV, 3)
-        vp = local_to_global(R, t, vp).reshape(N, L, H, PV, 3)
-        aggr = jnp.einsum('nijh,njhpx->nihpx', alpha, vp)      # (N, L, H, PV, 3)
-        feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
+            sq_q = jnp.sum(qp_h * qp_h, axis=-1)           # (N, L, H)
+            sq_k = jnp.sum(kp_h * kp_h, axis=-1)
+            cross = jnp.einsum('nihc,njhc->nijh', qp_h, kp_h)
+            sum_sq_dist = (sq_q[:, :, None, :] + sq_k[:, None, :, :]
+                           - 2.0 * cross)
+            logits_spatial = sum_sq_dist * spatial_coef.astype(sum_sq_dist.dtype)
+
+            logits_sum = ((logits_node + logits_pair + logits_spatial)
+                          * math.sqrt(1 / 3))
+            # Softmax in f32 for stability, weights back in compute dtype.
+            alpha = _masked_softmax(logits_sum.astype(jnp.float32),
+                                    mask.astype(bool), axis=2)  # (N, L, L, H)
+            alpha = alpha.astype(self.dtype)
+
+            feat_p2n = jnp.einsum('nijh,nijc->nihc', alpha, z).reshape(N, L, -1)
+            feat_node = jnp.einsum('nijh,njhc->nihc', alpha, v).reshape(N, L, -1)
+            aggr = jnp.einsum('nijh,njhpx->nihpx', alpha,
+                              vp_g.reshape(N, L, H, PV, 3))      # (N,L,H,PV,3)
+            feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
         feat_points = feat_points.reshape(N, L, H, PV, 3)
         feat_distance = jnp.linalg.norm(feat_points, axis=-1)
         feat_direction = normalize_vector(feat_points, eps=1e-4)
@@ -138,13 +167,18 @@ class GAEncoder(nn.Module):
     num_layers: int
     ga_block_opt: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None):
+    def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None,
+                 zT=None):
         opt = dict(self.ga_block_opt or {})
+        if self.use_pallas and zT is None:
+            zT = jnp.swapaxes(pair_feat, -1, -2)
         for i in range(self.num_layers):
-            bias_i = None if pair_biases is None else pair_biases[..., i, :]
+            bias_i = None if pair_biases is None else pair_biases[i]
             res_feat = GABlock(self.node_feat_dim, self.pair_feat_dim,
-                               dtype=self.dtype, name=f'block_{i}', **opt)(
-                R, t, res_feat, pair_feat, mask, pair_bias=bias_i)
+                               dtype=self.dtype, name=f'block_{i}',
+                               use_pallas=self.use_pallas, **opt)(
+                R, t, res_feat, pair_feat, mask, pair_bias=bias_i, zT=zT)
         return res_feat

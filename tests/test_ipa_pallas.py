@@ -1,0 +1,71 @@
+"""Fused pallas IPA kernel: equivalence with the einsum path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ab_opt_tpu.ops import fused_ipa_attention, ipa_attention_reference
+from ab_opt_tpu.nn import EpsilonNet
+
+
+def _rand_inputs(rng, N=2, L=32, H=12, Dqk=32, P=8, PV=8, Cz=64):
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    return dict(
+        q=f(N, L, H * Dqk), k=f(N, L, H * Dqk),
+        qp=f(N, L, H * P * 3), kp=f(N, L, H * P * 3),
+        v=f(N, L, H * Dqk), vp=f(N, L, H * PV * 3),
+        z=f(N, L, L, Cz), pair_w=f(Cz, H) * 0.1,
+        coef=-jnp.abs(f(H)) * 0.05,
+        mask=jnp.ones((N, L)).at[1, -5:].set(0),
+    )
+
+
+class TestKernel:
+    def test_matches_reference(self, rng):
+        inp = _rand_inputs(rng)
+        ref = ipa_attention_reference(**inp)
+        zT = jnp.swapaxes(inp.pop('z'), -1, -2)
+        got = fused_ipa_attention(
+            inp['q'], inp['k'], inp['qp'], inp['kp'], inp['v'], inp['vp'],
+            zT, inp['pair_w'], inp['coef'], inp['mask'], interpret=True)
+        for a, b, name in zip(got, ref, ('p2n', 'node', 'pts')):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, err_msg=name)
+
+    def test_odd_tile_sizes(self, rng):
+        """L=48 exercises the TI=16 tiling path."""
+        inp = _rand_inputs(rng, N=1, L=48)
+        ref = ipa_attention_reference(**inp)
+        zT = jnp.swapaxes(inp.pop('z'), -1, -2)
+        got = fused_ipa_attention(
+            inp['q'], inp['k'], inp['qp'], inp['kp'], inp['v'], inp['vp'],
+            zT, inp['pair_w'], inp['coef'], inp['mask'], interpret=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class TestEndToEnd:
+    def test_epsilon_net_pallas_vs_einsum(self, rng):
+        """Full EpsilonNet forward agrees between implementations."""
+        N, L, F, C = 2, 16, 16, 8
+        from helpers import make_batch
+        batch = make_batch(np.random.default_rng(0), N=N, L=L)
+
+        v_t = jnp.asarray(rng.normal(size=(N, L, 3)) * 0.5, jnp.float32)
+        p_t = jnp.asarray(rng.normal(size=(N, L, 3)), jnp.float32)
+        res_feat = jnp.asarray(rng.normal(size=(N, L, F)), jnp.float32)
+        pair_feat = jnp.asarray(rng.normal(size=(N, L, L, C)), jnp.float32)
+        beta = jnp.asarray([0.1, 0.5])
+
+        net_e = EpsilonNet(F, C, 2, num_bins=8, use_pallas=False)
+        net_p = EpsilonNet(F, C, 2, num_bins=8, use_pallas=True)
+        params = net_e.init(jax.random.key(0), v_t, p_t, batch['aa'], res_feat,
+                            pair_feat, beta, batch['generate_flag'], batch['mask'])
+        args = (v_t, p_t, batch['aa'], res_feat, pair_feat, beta,
+                batch['generate_flag'], batch['mask'])
+        out_e = net_e.apply(params, *args)
+        out_p = net_p.apply(params, *args)
+        for a, b, name in zip(out_p, out_e,
+                              ('v', 'R', 'eps_pos', 'c', 'prmsd')):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=name)
