@@ -117,9 +117,10 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res, pair_biases=None):
+                     mask_generate, mask_res, pair_biases=None, zT=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
-                            mask_generate, mask_res, pair_biases=pair_biases)
+                            mask_generate, mask_res, pair_biases=pair_biases,
+                            zT=zT)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -166,12 +167,13 @@ class DiffAb:
                               method=DiffAbNet.encode)
 
     def precompute_pair_biases(self, params, pair_feat):
-        """Per-block pair-attention biases (N, L, L, num_layers, H).
+        """Per-block pair-attention biases, head-major (layers, N, H, L, L).
 
         The pair features are frozen during the reverse loop, so each
-        GABlock's proj_pair_bias projection is hoisted out of the scan: one
-        fused einsum here replaces num_layers Dense(z) reads per step
-        (~halves HBM traffic of sampling at typical sizes).
+        GABlock's proj_pair_bias projection is hoisted out of the scan. Used
+        by the pallas IPA path, which streams the bias block once per layer
+        per step; the XLA einsum path computes the bias inline instead
+        (measured faster there thanks to fusion).
         """
         blocks = params['params']['eps_net']['encoder']
         kernels = []
@@ -179,8 +181,7 @@ class DiffAb:
         for i in range(n_layers):
             kernels.append(blocks[f'block_{i}']['proj_pair_bias']['kernel'])
         kernel = jnp.stack(kernels, axis=0)              # (layers, C, H)
-        # Leading block axis -> contiguous (N, L, L, H) slices inside the scan.
-        return jnp.einsum('nijc,lch->lnijh', pair_feat, kernel)
+        return jnp.einsum('nijc,lch->lnhij', pair_feat, kernel)
 
     # ----------------------------------------------------------------- train
 
@@ -262,10 +263,15 @@ class DiffAb:
                       sample_structure: bool, sample_sequence: bool,
                       keep_traj: bool):
         """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
-        # Measured on v5e: XLA fuses the inline per-block bias projection
-        # better than reading a precomputed (layers, N, L, L, H) tensor, so no
-        # hoisting here; the pallas kernel computes the bias in-VMEM instead.
-        pair_biases = None
+        # Hoist scan-invariant pair-derived tensors for the pallas path.
+        # (For the einsum path, XLA's inline bias fusion measured faster than
+        # reading a precomputed tensor, so it gets None.)
+        if self._use_pallas:
+            pair_biases = self.precompute_pair_biases(params, pair_feat)
+            zT = jnp.swapaxes(pair_feat, -1, -2)
+        else:
+            pair_biases = None
+            zT = None
 
         def step(carry, t):
             v_t, p_t, s_t, key = carry
@@ -276,7 +282,7 @@ class DiffAb:
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                mask_generate, mask_res, pair_biases,
+                mask_generate, mask_res, pair_biases, zT,
                 method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)

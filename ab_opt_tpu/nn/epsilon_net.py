@@ -39,7 +39,7 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res, pair_biases=None):
+                 mask_generate, mask_res, pair_biases=None, zT=None):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
@@ -59,7 +59,8 @@ class EpsilonNet(nn.Module):
                              ga_block_opt=self.encoder_opt, dtype=self.dtype,
                              use_pallas=self.use_pallas,
                              name='encoder')(R, p_t, res_feat, pair_feat,
-                                             mask_res, pair_biases=pair_biases)
+                                             mask_res, pair_biases=pair_biases,
+                                             zT=zT)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import jax
 
 from ..geometry import global_to_local, local_to_global, normalize_vector
-from ..ops.ipa_pallas import fused_ipa_attention
+from ..ops.ipa_pallas import fused_ipa_from_flat
 
 
 def _masked_softmax(logits, mask, axis, inf=1e5):
@@ -55,9 +55,10 @@ class GABlock(nn.Module):
         Args:
           R: (N, L, 3, 3) frame bases; t: (N, L, 3) frame origins;
           x: (N, L, F) node feats; z: (N, L, L, C) pair feats; mask: (N, L);
-          pair_bias: optional precomputed (N, L, L, H) pair-attention bias —
-            it is constant across diffusion steps, so samplers hoist it out
-            of the reverse scan (see EpsilonNet.compute_pair_bias).
+          pair_bias: optional precomputed pair-attention bias — constant
+            across diffusion steps, so samplers hoist it out of the reverse
+            scan. Layout: (N, L, L, H) for the einsum path, head-major
+            (N, H, L, L) for the pallas path.
         Returns: updated node feats (N, L, F).
         """
         N, L = x.shape[:2]
@@ -91,13 +92,11 @@ class GABlock(nn.Module):
             # features streamed once (ab_opt_tpu/ops/ipa_pallas.py).
             assert not self.bias, 'pallas IPA path assumes bias-free projections'
             pair_w = bias_dense(jnp.eye(z.shape[-1], dtype=self.dtype))
-            if zT is None:
-                zT = jnp.swapaxes(z, -1, -2)               # (N, L, C, L)
             interp = jax.default_backend() != 'tpu'
-            feat_p2n, feat_node, pts = fused_ipa_attention(
-                q, k, qp, kp, v, vp_g.reshape(N, L, H * PV * 3), zT,
+            feat_p2n, feat_node, pts = fused_ipa_from_flat(
+                q, k, qp, kp, v, vp_g.reshape(N, L, H * PV * 3), z,
                 pair_w, spatial_coef.reshape(H), mask.astype(jnp.float32),
-                interpret=interp)
+                pair_bias_t=pair_bias, zT=zT, interpret=interp)
             aggr = pts.reshape(N, L, H, PV, 3)
             feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
         else:
@@ -174,7 +173,7 @@ class GAEncoder(nn.Module):
                  zT=None):
         opt = dict(self.ga_block_opt or {})
         if self.use_pallas and zT is None:
-            zT = jnp.swapaxes(pair_feat, -1, -2)
+            zT = jnp.swapaxes(pair_feat, -1, -2)           # (N, L, C, L)
         for i in range(self.num_layers):
             bias_i = None if pair_biases is None else pair_biases[i]
             res_feat = GABlock(self.node_feat_dim, self.pair_feat_dim,

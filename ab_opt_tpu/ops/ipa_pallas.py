@@ -8,26 +8,32 @@ tensors and reads the (N, L, L, Cz) pair features twice. This kernel fuses
     {pair, node, point} aggregation
 
 into one VMEM-resident pass per (batch, query-tile) grid cell: the pair
-tensor is streamed exactly once per layer and no (L, L) intermediate touches
-HBM. All *projections* (q/k/v/points, out_transform, MLPs) stay in XLA —
-they are plain matmuls the compiler already schedules well.
+tensor and the (precomputed) pair bias are streamed exactly once per layer
+and no (L, L) logits/alpha intermediate touches HBM.
 
-Layout note: the pair tensor is passed pre-transposed as zT (N, L, Cz, L)
-so its last (lane) dimension is L — at L >= 128 this avoids the 2x VMEM
-padding a (., ., Cz=64) layout would incur, and makes both the in-kernel
-pair-bias contraction and the pair aggregation lane reductions.
+Design notes (Mosaic constraints drove these):
+* all per-head contractions are head-batched dot_generals with the batch dim
+  at position 0 (the only batching Mosaic implements) -- inputs arrive
+  head-major (N, H, L, D);
+* the pair bias is an input (N, H, L, L), not computed from z in-kernel:
+  samplers hoist its projection out of the 100-step reverse scan, and the
+  kernel streams it once -- unlike the XLA path, nothing re-materializes;
+* the pair tensor arrives as zT (N, L, Cz, L) (query-row major) so the pair
+  aggregation is a per-head lane reduction over the resident tile;
+* outputs are head-major (N, H, L, D); the XLA caller transposes back
+  (small tensors).
 
 Shapes (D* = per-head dims; H heads):
-  q, k:   (N, L, H*Dqk)   frame-invariant queries/keys
-  qp, kp: (N, L, H*P3)    global-frame query/key points (P3 = 3*num_points)
-  v:      (N, L, H*Dv)    values
-  vp:     (N, L, H*PV3)   global-frame value points
-  zT:     (N, L, Cz, L)   pair features, transposed (i, c, j)
-  pair_w: (Cz, H)         per-block pair-bias projection weights
-  coef:   (H,)            spatial logit multiplier (-gamma * sqrt(2/9P) / 2)
-  mask:   (N, L) float    1.0 valid / 0.0 padding
-Returns:
-  feat_p2n (N, L, H*Cz), feat_node (N, L, H*Dv), aggr_points (N, L, H*PV3)
+  qh, kh:   (N, H, L, Dqk)
+  qph, kph: (N, H, L, P3)    global-frame query/key points (P3 = 3*n_points)
+  vh:       (N, H, L, Dv)
+  vph:      (N, H, L, PV3)   global-frame value points
+  zT:       (N, L, Cz, L)    pair features, transposed (i, c, j)
+  bias:     (N, H, L, L)     pair-attention bias (z @ W_pair, precomputed)
+  coef:     (H,)             spatial logit multiplier (-gamma*sqrt(2/9P)/2)
+  mask:     (N, L) float     1.0 valid / 0.0 padding
+Returns (head-major):
+  feat_p2n (N, H, L, Cz), feat_node (N, H, L, Dv), aggr_points (N, H, L, PV3)
 """
 from __future__ import annotations
 
@@ -37,130 +43,131 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _INV_SQRT3 = math.sqrt(1.0 / 3.0)
 _NEG_BIG = 1e5
-_VMEM_BUDGET = 10 * 1024 * 1024   # conservative per-buffer-set budget
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_tile(L: int, Cz: int, itemsize: int) -> int:
-    """Largest row tile dividing L whose double-buffered zT block fits VMEM."""
+def _pick_tile(L: int, Cz: int, H: int, itemsize: int) -> int:
+    """Largest row tile dividing L whose streamed blocks fit VMEM
+    (double-buffered zT + bias + alpha scratch)."""
     for t in (128, 64, 32, 16, 8):
         if L % t != 0:
             continue
-        if 2 * t * Cz * max(L, 128) * itemsize <= _VMEM_BUDGET:
+        z_blk = 2 * t * Cz * max(L, 128) * itemsize
+        b_blk = 2 * H * t * max(L, 128) * 4
+        if z_blk + b_blk + H * t * max(L, 128) * 4 <= _VMEM_BUDGET:
             return t
     return 8 if L % 8 == 0 else L
 
 
-def _kernel(q_ref, k_ref, qp_ref, kp_ref, v_ref, vp_ref, zt_ref, bias_w_ref,
-            coef_ref, mask_row_ref, mask_col_ref,
-            p2n_ref, node_ref, pts_ref,
-            *, H, Dqk, P3, Dv, PV3, Cz):
+def _kernel(qh_ref, kh_ref, qph_ref, kph_ref, vh_ref, vph_ref, zt_ref,
+            bias_ref, coef_ref, colbias_ref,
+            p2n_ref, node_ref, pts_ref, alphas_ref,
+            *, H, Dqk, Cz):
     f32 = jnp.float32
-    mask_row = mask_row_ref[:].astype(f32)             # (TI,)
-    mask_col = mask_col_ref[:].astype(f32)             # (L,)
-    mask_pair = mask_row[:, None] * mask_col[None, :]  # (TI, L)
+    # Additive column mask (0 valid / -1e5 padding); invalid *query rows*
+    # are zeroed outside the kernel (their outputs are discarded anyway).
+    col_bias = colbias_ref[0, :].astype(f32)               # (L,)
 
-    zt = zt_ref[:].astype(f32)                         # (TI, Cz, L)
+    qh = qh_ref[:].astype(f32)                             # (H, TI, Dqk)
+    kh = kh_ref[:].astype(f32)                             # (H, L, Dqk)
+    logits = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32) * (1.0 / math.sqrt(Dqk))   # (H, TI, L)
 
+    qph = qph_ref[:].astype(f32)                           # (H, TI, P3)
+    kph = kph_ref[:].astype(f32)                           # (H, L, P3)
+    cross = jax.lax.dot_general(
+        qph, kph, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)                        # (H, TI, L)
+    sq_q = jnp.sum(qph * qph, axis=-1)                     # (H, TI)
+    sq_k = jnp.sum(kph * kph, axis=-1)                     # (H, L)
+    d2 = sq_q[:, :, None] + sq_k[:, None, :] - 2.0 * cross
+
+    coef = coef_ref[0, :].astype(f32)                      # (H,)
+    logits = logits + bias_ref[:].astype(f32) + d2 * coef[:, None, None]
+    logits = logits * _INV_SQRT3 + col_bias[None, None, :]
+    alphas = jax.nn.softmax(logits, axis=-1)               # (H, TI, L)
+    alphas_ref[:] = alphas
+
+    # Node/point aggregations: head-batched MXU dots.
+    vh = vh_ref[:].astype(f32)                             # (H, L, Dv)
+    node_ref[:] = jax.lax.dot_general(
+        alphas, vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32).astype(node_ref.dtype)
+    vph = vph_ref[:].astype(f32)                           # (H, L, PV3)
+    pts_ref[:] = jax.lax.dot_general(
+        alphas, vph, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32).astype(pts_ref.dtype)
+
+    # Pair aggregation: per-head lane reduction over the resident zT tile.
+    zt = zt_ref[:].astype(f32)                             # (TI, Cz, L)
     for h in range(H):
-        q_h = q_ref[:, h * Dqk:(h + 1) * Dqk].astype(f32)
-        k_h = k_ref[:, h * Dqk:(h + 1) * Dqk].astype(f32)
-        logits = jax.lax.dot_general(
-            q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32) * (1.0 / math.sqrt(Dqk))
-
-        # Pair bias from the resident zT tile: sum_c w[c] * z[i, c, j].
-        w_h = bias_w_ref[:, h].astype(f32)             # (Cz,)
-        bias = jnp.sum(zt * w_h[None, :, None], axis=1)        # (TI, L)
-
-        qp_h = qp_ref[:, h * P3:(h + 1) * P3].astype(f32)
-        kp_h = kp_ref[:, h * P3:(h + 1) * P3].astype(f32)
-        cross = jax.lax.dot_general(qp_h, kp_h, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)
-        sq_q = jnp.sum(qp_h * qp_h, axis=-1)
-        sq_k = jnp.sum(kp_h * kp_h, axis=-1)
-        d2 = sq_q[:, None] + sq_k[None, :] - 2.0 * cross
-        logits = logits + bias + d2 * coef_ref[0, h]
-
-        logits = logits * _INV_SQRT3
-        logits = jnp.where(mask_pair > 0, logits, logits - _NEG_BIG)
-        alpha = jax.nn.softmax(logits, axis=-1)        # (TI, L)
-        alpha = alpha * mask_row[:, None]              # zero invalid rows
-
-        # Aggregations.
-        v_h = v_ref[:, h * Dv:(h + 1) * Dv].astype(f32)
-        node_ref[:, h * Dv:(h + 1) * Dv] = jnp.dot(
-            alpha, v_h, preferred_element_type=f32).astype(node_ref.dtype)
-
-        vp_h = vp_ref[:, h * PV3:(h + 1) * PV3].astype(f32)
-        pts_ref[:, h * PV3:(h + 1) * PV3] = jnp.dot(
-            alpha, vp_h, preferred_element_type=f32).astype(pts_ref.dtype)
-
-        # Pair aggregation: sum_j alpha[i, j] * z[i, c, j] (lane reduction).
-        p2n = jnp.sum(alpha[:, None, :] * zt, axis=-1)         # (TI, Cz)
-        p2n_ref[:, h * Cz:(h + 1) * Cz] = p2n.astype(p2n_ref.dtype)
+        a_h = alphas_ref[h]                                # (TI, L)
+        p2n_h = jnp.sum(a_h[:, None, :] * zt, axis=-1)     # (TI, Cz)
+        p2n_ref[h] = p2n_h.astype(p2n_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_ipa_attention(q, k, qp, kp, v, vp, zT, pair_w, coef, mask,
+def fused_ipa_attention(qh, kh, qph, kph, vh, vph, zT, bias, coef, mask,
                         interpret: bool = False):
-    N, L = q.shape[:2]
-    H = coef.shape[-1]
-    Dqk = q.shape[-1] // H
-    P3 = qp.shape[-1] // H
-    Dv = v.shape[-1] // H
-    PV3 = vp.shape[-1] // H
+    N, H, L, Dqk = qh.shape
+    P3 = qph.shape[-1]
+    Dv = vh.shape[-1]
+    PV3 = vph.shape[-1]
     Cz = zT.shape[-2]
-    TI = _pick_tile(L, Cz, zT.dtype.itemsize)
-    out_dtype = q.dtype
+    TI = _pick_tile(L, Cz, H, zT.dtype.itemsize)
+    out_dtype = qh.dtype
 
-    mask_f = mask.astype(jnp.float32)
+    # (N, 8, L) additive column bias: Mosaic wants >= 8 sublanes per block.
+    col_bias = (mask.astype(jnp.float32) - 1.0) * _NEG_BIG
+    col_bias = jnp.broadcast_to(col_bias[:, None, :], (N, 8, L))
     coef2 = coef.reshape(1, H).astype(jnp.float32)
 
     grid = (N, L // TI)
-    q_spec = pl.BlockSpec((None, TI, H * Dqk), lambda n, i: (n, i, 0))
-    qp_spec = pl.BlockSpec((None, TI, H * P3), lambda n, i: (n, i, 0))
-    k_spec = pl.BlockSpec((None, L, H * Dqk), lambda n, i: (n, 0, 0))
-    kp_spec = pl.BlockSpec((None, L, H * P3), lambda n, i: (n, 0, 0))
-    v_spec = pl.BlockSpec((None, L, H * Dv), lambda n, i: (n, 0, 0))
-    vp_spec = pl.BlockSpec((None, L, H * PV3), lambda n, i: (n, 0, 0))
+    row = lambda d: pl.BlockSpec((None, H, TI, d), lambda n, i: (n, 0, i, 0))
+    full = lambda d: pl.BlockSpec((None, H, L, d), lambda n, i: (n, 0, 0, 0))
     z_spec = pl.BlockSpec((None, TI, Cz, L), lambda n, i: (n, i, 0, 0))
-    w_spec = pl.BlockSpec((Cz, H), lambda n, i: (0, 0))
+    bias_spec = pl.BlockSpec((None, H, TI, L), lambda n, i: (n, 0, i, 0))
     coef_spec = pl.BlockSpec((1, H), lambda n, i: (0, 0))
-    mrow_spec = pl.BlockSpec((None, TI), lambda n, i: (n, i))
-    mcol_spec = pl.BlockSpec((None, L), lambda n, i: (n, 0))
+    cb_spec = pl.BlockSpec((None, 8, L), lambda n, i: (n, 0, 0))
 
-    kernel = functools.partial(
-        _kernel, H=H, Dqk=Dqk, P3=P3, Dv=Dv, PV3=PV3, Cz=Cz)
+    kernel = functools.partial(_kernel, H=H, Dqk=Dqk, Cz=Cz)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((N, L, H * Cz), out_dtype),
-        jax.ShapeDtypeStruct((N, L, H * Dv), out_dtype),
-        jax.ShapeDtypeStruct((N, L, H * PV3), out_dtype),
+        jax.ShapeDtypeStruct((N, H, L, Cz), out_dtype),
+        jax.ShapeDtypeStruct((N, H, L, Dv), out_dtype),
+        jax.ShapeDtypeStruct((N, H, L, PV3), out_dtype),
     )
     out_specs = (
-        pl.BlockSpec((None, TI, H * Cz), lambda n, i: (n, i, 0)),
-        pl.BlockSpec((None, TI, H * Dv), lambda n, i: (n, i, 0)),
-        pl.BlockSpec((None, TI, H * PV3), lambda n, i: (n, i, 0)),
+        pl.BlockSpec((None, H, TI, Cz), lambda n, i: (n, 0, i, 0)),
+        pl.BlockSpec((None, H, TI, Dv), lambda n, i: (n, 0, i, 0)),
+        pl.BlockSpec((None, H, TI, PV3), lambda n, i: (n, 0, i, 0)),
     )
 
-    return pl.pallas_call(
+    p2n, node, pts = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, k_spec, qp_spec, kp_spec, v_spec, vp_spec, z_spec,
-                  w_spec, coef_spec, mrow_spec, mcol_spec],
+        in_specs=[row(Dqk), full(Dqk), row(P3), full(P3), full(Dv), full(PV3),
+                  z_spec, bias_spec, coef_spec, cb_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((H, TI, L), jnp.float32)],
         interpret=interpret,
-    )(q, k, qp, kp, v, vp, zT, pair_w, coef2, mask_f, mask_f)
+    )(qh, kh, qph, kph, vh, vph, zT, bias, coef2, col_bias)
+    # Zero outputs of invalid query rows (reference zeroes alpha rows).
+    row_mask = mask.astype(p2n.dtype)[:, None, :, None]
+    return p2n * row_mask, node * row_mask, pts * row_mask
 
 
 def ipa_attention_reference(q, k, qp, kp, v, vp, z, pair_w, coef, mask):
     """Einsum reference implementation (same math, XLA-scheduled).
 
-    Takes z in natural (N, L, L, Cz) layout.
+    Takes flat head-minor inputs (N, L, H*D) and z in natural (N, L, L, Cz)
+    layout, mirroring the GABlock einsum path.
     """
     N, L = q.shape[:2]
     H = coef.shape[-1]
@@ -186,3 +193,27 @@ def ipa_attention_reference(q, k, qp, kp, v, vp, z, pair_w, coef, mask):
     node = jnp.einsum('nijh,njhc->nihc', alpha, vh).reshape(N, L, -1)
     pts = jnp.einsum('nijh,njhc->nihc', alpha, vph).reshape(N, L, -1)
     return p2n, node, pts
+
+
+def fused_ipa_from_flat(q, k, qp, kp, v, vp, z, pair_w, coef, mask,
+                        pair_bias_t=None, zT=None, interpret: bool = False):
+    """Convenience wrapper: flat head-minor inputs -> fused kernel.
+
+    Handles the head-major transposes and the pair-bias projection.
+    ``pair_bias_t``, if given, must already be head-major (N, H, L, L) —
+    samplers hoist both it and ``zT`` out of the reverse scan.
+    """
+    N, L = q.shape[:2]
+    H = coef.shape[-1]
+    to_h = lambda x: jnp.transpose(x.reshape(N, L, H, -1), (0, 2, 1, 3))
+    if pair_bias_t is None:
+        pair_bias = jnp.einsum('nijc,ch->nijh', z, pair_w.astype(z.dtype))
+        pair_bias_t = jnp.transpose(pair_bias, (0, 3, 1, 2))   # (N, H, L, L)
+    bias_t = pair_bias_t
+    if zT is None:
+        zT = jnp.swapaxes(z, -1, -2)                       # (N, L, Cz, L)
+    p2n, node, pts = fused_ipa_attention(
+        to_h(q), to_h(k), to_h(qp), to_h(kp), to_h(v), to_h(vp),
+        zT, bias_t, coef, mask, interpret=interpret)
+    back = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(N, L, -1)
+    return back(p2n), back(node), back(pts)

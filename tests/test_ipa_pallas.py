@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ab_opt_tpu.ops import fused_ipa_attention, ipa_attention_reference
+from ab_opt_tpu.ops import fused_ipa_from_flat, ipa_attention_reference
 from ab_opt_tpu.nn import EpsilonNet
 
 
@@ -24,10 +24,7 @@ class TestKernel:
     def test_matches_reference(self, rng):
         inp = _rand_inputs(rng)
         ref = ipa_attention_reference(**inp)
-        zT = jnp.swapaxes(inp.pop('z'), -1, -2)
-        got = fused_ipa_attention(
-            inp['q'], inp['k'], inp['qp'], inp['kp'], inp['v'], inp['vp'],
-            zT, inp['pair_w'], inp['coef'], inp['mask'], interpret=True)
+        got = fused_ipa_from_flat(**inp, interpret=True)
         for a, b, name in zip(got, ref, ('p2n', 'node', 'pts')):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5, err_msg=name)
@@ -36,10 +33,7 @@ class TestKernel:
         """L=48 exercises the TI=16 tiling path."""
         inp = _rand_inputs(rng, N=1, L=48)
         ref = ipa_attention_reference(**inp)
-        zT = jnp.swapaxes(inp.pop('z'), -1, -2)
-        got = fused_ipa_attention(
-            inp['q'], inp['k'], inp['qp'], inp['kp'], inp['v'], inp['vp'],
-            zT, inp['pair_w'], inp['coef'], inp['mask'], interpret=True)
+        got = fused_ipa_from_flat(**inp, interpret=True)
         for a, b in zip(got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
