@@ -266,12 +266,11 @@ class DiffAb:
         # Hoist scan-invariant pair-derived tensors for the pallas path.
         # (For the einsum path, XLA's inline bias fusion measured faster than
         # reading a precomputed tensor, so it gets None.)
-        if self._use_pallas:
-            pair_biases = self.precompute_pair_biases(params, pair_feat)
-            zT = jnp.swapaxes(pair_feat, -1, -2)
-        else:
-            pair_biases = None
-            zT = None
+        # The pallas kernel computes the pair bias in-VMEM from the resident
+        # zT tile; only the transpose is hoisted. The einsum path computes
+        # the bias inline (XLA fusion measured faster than a hoisted read).
+        pair_biases = None
+        zT = jnp.swapaxes(pair_feat, -1, -2) if self._use_pallas else None
 
         def step(carry, t):
             v_t, p_t, s_t, key = carry

@@ -96,7 +96,7 @@ class GABlock(nn.Module):
             feat_p2n, feat_node, pts = fused_ipa_from_flat(
                 q, k, qp, kp, v, vp_g.reshape(N, L, H * PV * 3), z,
                 pair_w, spatial_coef.reshape(H), mask.astype(jnp.float32),
-                pair_bias_t=pair_bias, zT=zT, interpret=interp)
+                zT=zT, interpret=interp)
             aggr = pts.reshape(N, L, H, PV, 3)
             feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
         else:

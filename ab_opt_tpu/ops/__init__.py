@@ -1,9 +1,4 @@
 """Pallas TPU kernels for the hot compute paths."""
-from .ipa_pallas import (
-    fused_ipa_attention,
-    fused_ipa_from_flat,
-    ipa_attention_reference,
-)
+from .ipa_pallas import fused_ipa_from_flat, ipa_attention_reference
 
-__all__ = ['fused_ipa_attention', 'fused_ipa_from_flat',
-           'ipa_attention_reference']
+__all__ = ['fused_ipa_from_flat', 'ipa_attention_reference']
