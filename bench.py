@@ -33,9 +33,11 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
-    from __graft_entry__ import _make_batch, _make_model
+    from __graft_entry__ import _make_batch
+    from ab_opt_tpu.models import DiffAb, DiffAbConfig
 
-    model = _make_model()                 # production config, 100 steps
+    # Production serving config: bf16 compute, fused pallas IPA on TPU.
+    model = DiffAb(DiffAbConfig(dtype='bfloat16'))
     batch = _make_batch(N=BATCH, L=L)
     params = model.init(jax.random.key(0), batch)
 
