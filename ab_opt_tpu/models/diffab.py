@@ -47,6 +47,8 @@ class DiffAbConfig:
     train_sequence: bool = True
     position_mean: Tuple[float, ...] = (0.0, 0.0, 0.0)
     position_scale: Tuple[float, ...] = (10.0,)
+    mask_ratio_min: float = 0.0        # random partial-CDR masking (0 = off)
+    mask_ratio_max: float = 0.0
     seed: int = 0
     dtype: str = 'float32'             # compute dtype for dense layers
     ipa_impl: str = 'auto'             # 'auto' | 'einsum' | 'pallas'
@@ -197,6 +199,18 @@ class DiffAb:
 
         mask_generate = batch['generate_flag']
         mask_res = batch['mask']
+
+        key, k_mask = jax.random.split(key)
+        if cfg.mask_ratio_min > 0:
+            # Random partial-CDR masking: only a Bernoulli subset of the CDR
+            # is generated this step (ref models/diffab.py:94-97,166-180).
+            ratio = jax.random.uniform(k_mask, (), minval=cfg.mask_ratio_min,
+                                       maxval=cfg.mask_ratio_max)
+            keep = jax.random.bernoulli(jax.random.fold_in(k_mask, 1), ratio,
+                                        mask_generate.shape)
+            mask_generate = mask_generate & keep
+            batch = dict(batch, generate_flag=mask_generate)
+
         res_feat, pair_feat, R_0, p_0 = self.encode(
             params, batch, denoise_structure, denoise_sequence)
         v_0 = rotation_to_so3vec(R_0)

@@ -61,7 +61,11 @@ def sharded_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
 
     def total_loss(params, batch, key):
         losses = loss_fn(params, batch, key)
-        total = sum(losses[k] * weights.get(k, 1.0) for k in losses)
+        # With explicit weights, only the weighted terms train (the
+        # reference's sum_weighted_losses skips unweighted/no-grad entries,
+        # e.g. diff_gnn's 'accuracy' metric).
+        keys = [k for k in losses if k in weights] if weights else list(losses)
+        total = sum(losses[k] * weights.get(k, 1.0) for k in keys)
         return total, losses
 
     batch_sharding = NamedSharding(mesh, P(axis_name))

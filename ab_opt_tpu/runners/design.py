@@ -276,6 +276,17 @@ def design_for_structure(structure, model, params, cfg: Dict,
     sampling_cfg = dict(cfg.get('sampling', {}))
     variants = create_data_variants(mode, sampling_cfg, structure, rng)
 
+    # Metadata for the downstream relax/eval TaskScanners
+    # (ref design_for_pdb.py:103-113).
+    import json
+    metadata = {
+        'identifier': structure['id'],
+        'items': [{k: v for k, v in var.items() if k != 'data'}
+                  for var in variants],
+    }
+    with open(os.path.join(log_dir, 'metadata.json'), 'w') as f:
+        json.dump(metadata, f, indent=2, default=str)
+
     # Inference crop: patch around anchor (+ optional native wipe).
     patch_cfg = {
         'type': 'patch_around_anchor',

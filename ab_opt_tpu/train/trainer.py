@@ -114,6 +114,18 @@ class Trainer:
         self.opt_state = None
         self.iteration = 0
 
+        # wandb gated on the `wandb` env var, like the reference
+        # (AbDock/train.py:35-37,116-119).
+        self._wandb = None
+        if os.environ.get('wandb'):
+            try:
+                import wandb
+                wandb.init(project='ab_opt_tpu',
+                           config=dict(self.full_config))
+                self._wandb = wandb
+            except ImportError:
+                logger.warning('wandb requested but not installed')
+
     # ------------------------------------------------------------------ setup
 
     def init_params(self, example_batch, seed: int = 0):
@@ -164,6 +176,9 @@ class Trainer:
         self.params, self.opt_state, losses = self.step_fn(
             self.params, self.opt_state, batch, key)
         losses = {k: float(v) for k, v in losses.items()}
+        if self._wandb is not None:
+            self._wandb.log({f'train/{k}': v for k, v in losses.items()},
+                            step=self.iteration)
         if not all(np.isfinite(v) for v in losses.values()):
             self._dump_nan_state(batch_np, losses)
             raise FloatingPointError(f'Non-finite loss at it {self.iteration}: {losses}')
@@ -187,10 +202,14 @@ class Trainer:
             batch = to_device_batch(batch_np)
             losses = self._val_loss_fn(self.params, batch,
                                        jax.random.fold_in(key, i))
+            keys = ([k for k in losses if k in self.loss_weights]
+                    if self.loss_weights else list(losses))
             total = sum(float(losses[k]) * self.loss_weights.get(k, 1.0)
-                        for k in losses)
+                        for k in keys)
             tape.append(total)
         avg = float(np.mean(tape)) if tape else float('nan')
+        if self._wandb is not None and np.isfinite(avg):
+            self._wandb.log({'val/loss': avg}, step=self.iteration)
         if self.scheduler is not None and np.isfinite(avg):
             new_lr = self.scheduler.step(avg, self.lr)
             if new_lr != self.lr:
