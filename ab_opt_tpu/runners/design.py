@@ -459,3 +459,38 @@ def _write_csvs(results: Dict, aa_rows: List[Dict], log_dir: str):
          for tag, summ in results.items()}, orient='index')
     df.to_csv(os.path.join(log_dir, 'results.csv'))
     pd.DataFrame(aa_rows).to_csv(os.path.join(log_dir, 'aa.csv'), index=False)
+
+
+# --------------------------------------------------------------------------- #
+# AbDesign property-spec conditioning (ref AbDesign/diffab/utils/train.py:181
+# eval_sample: hydropathy/charge specification strings over the CDR)
+# --------------------------------------------------------------------------- #
+
+_HYDRO_CHARS = {'+': 1, '-': 2, '?': 3}          # hydrophilic / moderate / unknown
+_CHARGE_CHARS = {'+': 1, '-': 2, '=': 3, '?': 4}  # pos / neg / neutral / unknown
+
+
+def apply_property_spec(data: Dict, hydropathy_spec: Optional[str] = None,
+                        charge_spec: Optional[str] = None) -> Dict:
+    """Condition the generate region on per-position property strings.
+
+    Spec strings use one char per CDR position: hydropathy '+'/'-'/'?'
+    (hydrophilic/moderate/unknown) and charge '+'/'-'/'='/'?'
+    (positive/negative/neutral/unknown). Returns a copy of ``data`` with the
+    'hydropathy'/'charge' channels set (AbDesign conditioning inputs).
+    """
+    data = dict(data)
+    gen_idx = np.flatnonzero(data['generate_flag'])
+    L = data['aa'].shape[0]
+    for spec, chars, key, unknown in (
+            (hydropathy_spec, _HYDRO_CHARS, 'hydropathy', 3),
+            (charge_spec, _CHARGE_CHARS, 'charge', 4)):
+        if spec is None:
+            continue
+        if len(spec) != len(gen_idx):
+            raise ValueError(
+                f'{key} spec length {len(spec)} != CDR length {len(gen_idx)}')
+        labels = np.full(L, unknown, np.int64)
+        labels[gen_idx] = [chars[c] for c in spec]
+        data[key] = labels
+    return data

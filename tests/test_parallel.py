@@ -33,8 +33,11 @@ def test_dp_train_step(setup):
     mesh = make_mesh(8)
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
-    step = sharded_train_step(model.loss, opt, mesh,
-                              loss_weights={'prmsd': 0.1}, max_grad_norm=100.0)
+    step = sharded_train_step(
+        model.loss, opt, mesh,
+        loss_weights={'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
+                      'prmsd': 0.1},
+        max_grad_norm=100.0)
     p2, opt_state, losses = step(params, opt_state, batch, jax.random.key(1))
     assert np.isfinite(float(losses['overall']))
     # Params actually changed.
