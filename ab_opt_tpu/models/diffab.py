@@ -327,8 +327,15 @@ class DiffAb:
 
     def sample(self, params, batch, key, sample_structure: bool = True,
                sample_sequence: bool = True, keep_traj: bool = False,
-               contig: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+               contig: Optional[jnp.ndarray] = None,
+               num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
         """Full reverse-diffusion sampling (ref dpm_full.py:237-302).
+
+        ``num_replicas`` > 1 implements the trajectory fan-out natively:
+        encoding (incl. the O(L^2 A^2) pair embedding) runs once on the given
+        batch, then features are tiled to batch*num_replicas independent
+        stochastic trajectories — replacing the reference's replicate-the-
+        input-batch trick (design_for_pdb.py:141) without redundant encodes.
 
         Returns a dict with final 'v', 'p' (unnormalized), 's', plus per-step
         'prmsd' and 'perplexity' (T, N); if keep_traj, stacked 'traj' arrays.
@@ -340,6 +347,14 @@ class DiffAb:
 
         res_feat, pair_feat, R_0, p_ctx = self.encode(
             params, batch, sample_structure, sample_sequence)
+
+        if num_replicas > 1:
+            rep = lambda x: jnp.repeat(x, num_replicas, axis=0)
+            res_feat, pair_feat, R_0, p_ctx = map(
+                rep, (res_feat, pair_feat, R_0, p_ctx))
+            mask_generate = rep(mask_generate)
+            mask_res = rep(mask_res)
+            batch = dict(batch, aa=rep(batch['aa']))
         v = rotation_to_so3vec(R_0)
         p = self.normalize_position(p_ctx)
         s = batch['aa']

@@ -175,8 +175,12 @@ class BatchedSampler:
         self.params = params
         self.keep_traj = keep_traj
 
-        def run(params, batch, key):
+        def run(params, batch, key, num_replicas):
             if opt_step is not None:
+                # The optimize path starts from the native state; replicate
+                # the input batch (cheap: no encode fan-out needed there).
+                if num_replicas > 1:
+                    batch = replicate_batch(batch, num_replicas)
                 out = model.optimize(params, batch, key, opt_step=opt_step,
                                      sample_structure=sample_structure,
                                      sample_sequence=sample_sequence,
@@ -185,20 +189,28 @@ class BatchedSampler:
                 out = model.sample(params, batch, key,
                                    sample_structure=sample_structure,
                                    sample_sequence=sample_sequence,
-                                   keep_traj=keep_traj)
+                                   keep_traj=keep_traj,
+                                   num_replicas=num_replicas)
+            # Tile the context batch to the trajectory axis for backbone
+            # reconstruction (sample() encodes once and fans out internally).
+            B = out['s'].shape[0]
+            tile = (lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:])
+                    if x.shape[0] != B else x)
             pos_new, mask_new = reconstruct_backbone_partially(
-                batch['pos_heavyatom'], so3vec_to_rotation(out['v']), out['p'],
-                out['s'], batch['chain_nb'], batch['res_nb'],
-                batch['mask_heavyatom'], batch['generate_flag'])
+                tile(batch['pos_heavyatom']), so3vec_to_rotation(out['v']),
+                out['p'], out['s'], tile(batch['chain_nb']),
+                tile(batch['res_nb']), tile(batch['mask_heavyatom']),
+                tile(batch['generate_flag']))
             out['pos_atom_new'] = pos_new
             out['mask_atom_new'] = mask_new
             return out
 
-        self._fn = jax.jit(run)
+        self._fn = jax.jit(run, static_argnums=(3,))
 
-    def __call__(self, batch_np: Dict, key) -> Dict[str, np.ndarray]:
+    def __call__(self, batch_np: Dict, key,
+                 num_replicas: int = 1) -> Dict[str, np.ndarray]:
         batch = to_device_batch(batch_np)
-        out = self._fn(self.params, batch, key)
+        out = self._fn(self.params, batch, key, num_replicas)
         return jax.tree_util.tree_map(np.asarray, out)
 
 
@@ -348,13 +360,15 @@ def design_for_structure(structure, model, params, cfg: Dict,
             data_cropped['patch_idx'])
         native_aa_gen = data_tmpl['aa'][gen_flag_full]
 
+        single_np = {k: v for k, v in single.items() if isinstance(v, np.ndarray)}
         for lo in range(0, args.num_samples, args.batch_size):
             n = min(args.batch_size, args.num_samples - lo)
-            batch_np = {k: np.repeat(v, n, axis=0)
-                        for k, v in single.items() if isinstance(v, np.ndarray)}
-            out = sampler(batch_np, jax.random.fold_in(key, lo))
+            out = sampler(single_np, jax.random.fold_in(key, lo),
+                          num_replicas=n)
 
             if args.keep_traj and lo == 0 and 'traj' in out:
+                batch_np = {k: np.repeat(v, n, axis=0)
+                            for k, v in single_np.items()}
                 _save_trajectory(out, batch_np, data_tmpl, data_cropped,
                                  os.path.join(log_dir, 'traj.pdb'))
 
