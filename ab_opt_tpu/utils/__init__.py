@@ -1,3 +1,5 @@
 from .config import ConfigDict, load_config
+from .profiling import StepTimer, profile_trace, seed_all
 
-__all__ = ['ConfigDict', 'load_config']
+__all__ = ['ConfigDict', 'load_config', 'StepTimer', 'profile_trace',
+           'seed_all']
