@@ -35,8 +35,9 @@ def lddt(pred_pos, true_pos, mask, cutoff: float = 15.0, eps: float = 1e-10):
                  * (d_true < cutoff) * (1.0 - jnp.eye(L)[None]))
 
     dist_l1 = jnp.abs(d_true - d_pred)
-    score = 0.25 * ((dist_l1 < 0.5) + (dist_l1 < 1.0) + (dist_l1 < 2.0)
-                    + (dist_l1 < 4.0)).astype(jnp.float32)
+    f = jnp.float32
+    score = 0.25 * ((dist_l1 < 0.5).astype(f) + (dist_l1 < 1.0).astype(f)
+                    + (dist_l1 < 2.0).astype(f) + (dist_l1 < 4.0).astype(f))
     norm = 1.0 / (eps + pair_mask.sum(axis=2))
     return norm * (eps + (pair_mask * score).sum(axis=2))
 
