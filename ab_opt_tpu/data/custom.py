@@ -56,3 +56,15 @@ class CustomDataset:
 def build_custom_dataset(cfg, transform):
     return CustomDataset(structure_dir=cfg['structure_dir'], transform=transform,
                          reset=cfg.get('reset', False))
+
+
+if __name__ == '__main__':
+    import argparse
+    parser = argparse.ArgumentParser(description='Custom dataset smoke-main')
+    parser.add_argument('--dir', default='./data/custom')
+    parser.add_argument('--reset', action='store_true')
+    _args = parser.parse_args()
+    _ds = CustomDataset(structure_dir=_args.dir, reset=_args.reset)
+    print(len(_ds), 'structures')
+    if len(_ds):
+        print(sorted(_ds[0].keys()))

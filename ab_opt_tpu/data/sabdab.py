@@ -359,3 +359,22 @@ def build_sabdab_dataset(cfg, transform):
         transform=transform,
         must_have_antigen=cfg.get('must_have_antigen', False),
     )
+
+
+if __name__ == '__main__':
+    import argparse
+    parser = argparse.ArgumentParser(description='SAbDab dataset smoke-main')
+    parser.add_argument('--summary_path', default='./data/sabdab_summary_all.tsv')
+    parser.add_argument('--chothia_dir', default='./data/all_structures/chothia')
+    parser.add_argument('--processed_dir', default='./data/processed')
+    parser.add_argument('--split', default='train')
+    parser.add_argument('--reset', action='store_true')
+    _args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    _ds = SAbDabDataset(summary_path=_args.summary_path,
+                        chothia_dir=_args.chothia_dir,
+                        processed_dir=_args.processed_dir,
+                        split=_args.split, reset=_args.reset)
+    print(f'{len(_ds)} structures in split {_args.split}')
+    print({k: getattr(v, 'shape', v) for k, v in _ds[0].items()
+           if v is not None and not isinstance(v, dict)})

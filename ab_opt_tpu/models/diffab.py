@@ -119,10 +119,11 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res, pair_biases=None, zT=None):
+                     mask_generate, mask_res, pair_biases=None, zT=None,
+                     use_pallas=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
-                            zT=zT)
+                            zT=zT, use_pallas=use_pallas)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -235,9 +236,12 @@ class DiffAb:
             s_noisy = s_0
 
         beta = self.trans_pos.sched.betas[t]
+        # use_pallas=False: training differentiates through the encoder and
+        # the fused kernel has no custom VJP (yet) — XLA einsum path instead.
         v_pred, R_pred, p_pred, c_denoised, prmsd_logits = self.net.apply(
             params, v_noisy, p_noisy, s_noisy, res_feat, pair_feat, beta,
-            mask_generate, mask_res, method=DiffAbNet.denoise_step)
+            mask_generate, mask_res, None, None, False,
+            method=DiffAbNet.denoise_step)
 
         if cfg.obj == 'pred_x0':
             p_true, pred_p0 = p_0, p_pred

@@ -39,7 +39,8 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res, pair_biases=None, zT=None):
+                 mask_generate, mask_res, pair_biases=None, zT=None,
+                 use_pallas=None):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
@@ -60,7 +61,7 @@ class EpsilonNet(nn.Module):
                              use_pallas=self.use_pallas,
                              name='encoder')(R, p_t, res_feat, pair_feat,
                                              mask_res, pair_biases=pair_biases,
-                                             zT=zT)
+                                             zT=zT, use_pallas=use_pallas)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

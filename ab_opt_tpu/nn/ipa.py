@@ -50,7 +50,8 @@ class GABlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, R, t, x, z, mask, pair_bias=None, zT=None):
+    def __call__(self, R, t, x, z, mask, pair_bias=None, zT=None,
+                 use_pallas=None):
         """
         Args:
           R: (N, L, 3, 3) frame bases; t: (N, L, 3) frame origins;
@@ -61,6 +62,7 @@ class GABlock(nn.Module):
             (N, H, L, L) for the pallas path.
         Returns: updated node feats (N, L, F).
         """
+        use_pallas = self.use_pallas if use_pallas is None else use_pallas
         N, L = x.shape[:2]
         H, QK, V = self.num_heads, self.query_key_dim, self.value_dim
         P, PV = self.num_query_points, self.num_value_points
@@ -87,7 +89,7 @@ class GABlock(nn.Module):
         bias_dense = nn.Dense(H, use_bias=self.bias, name='proj_pair_bias',
                               dtype=self.dtype)
 
-        if self.use_pallas:
+        if use_pallas:
             # Fused kernel path: logits+softmax+aggregation in VMEM, pair
             # features streamed once (ab_opt_tpu/ops/ipa_pallas.py).
             assert not self.bias, 'pallas IPA path assumes bias-free projections'
@@ -170,14 +172,16 @@ class GAEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None,
-                 zT=None):
+                 zT=None, use_pallas=None):
+        use_pallas = self.use_pallas if use_pallas is None else use_pallas
         opt = dict(self.ga_block_opt or {})
-        if self.use_pallas and zT is None:
+        if use_pallas and zT is None:
             zT = jnp.swapaxes(pair_feat, -1, -2)           # (N, L, C, L)
         for i in range(self.num_layers):
             bias_i = None if pair_biases is None else pair_biases[i]
             res_feat = GABlock(self.node_feat_dim, self.pair_feat_dim,
                                dtype=self.dtype, name=f'block_{i}',
                                use_pallas=self.use_pallas, **opt)(
-                R, t, res_feat, pair_feat, mask, pair_bias=bias_i, zT=zT)
+                R, t, res_feat, pair_feat, mask, pair_bias=bias_i, zT=zT,
+                use_pallas=use_pallas)
         return res_feat

@@ -7,7 +7,7 @@ BLOSUM62 global alignment from :mod:`ab_opt_tpu.metrics`.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

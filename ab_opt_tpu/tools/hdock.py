@@ -13,7 +13,6 @@ import tempfile
 from typing import List, Optional
 
 from ..constants import ChothiaCDRRange
-from ..data.pdb import parse_pdb, save_pdb
 
 
 def hdock_available() -> bool:
