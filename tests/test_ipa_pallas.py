@@ -63,3 +63,27 @@ class TestEndToEnd:
                               ('v', 'R', 'eps_pos', 'c', 'prmsd')):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, err_msg=name)
+
+
+class TestTrainingPath:
+    def test_grad_with_pallas_model(self, rng):
+        """Training must differentiate even when the model uses the fused
+        kernel for sampling (regression: pallas_call has no JVP)."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from helpers import make_batch
+        from ab_opt_tpu.models import DiffAb, DiffAbConfig
+
+        model = DiffAb(DiffAbConfig(res_feat_dim=16, pair_feat_dim=8,
+                                    num_steps=4, num_layers=1, num_bins=8,
+                                    ipa_impl='pallas'))
+        batch = make_batch(np.random.default_rng(0), N=2, L=16)
+        params = model.init(jax.random.key(0), batch)
+
+        def total(p):
+            d = model.loss(p, batch, jax.random.key(1))
+            return sum(v for k, v in d.items())
+
+        g = jax.grad(total)(params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
