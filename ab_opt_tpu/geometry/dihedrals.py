@@ -18,10 +18,13 @@ def dihedral_from_four_points(p0, p1, p2, p3):
     v2 = p3 - p2
     u1 = jnp.cross(v0, v1)
     u2 = jnp.cross(v0, v2)
-    # Guard the normalization: degenerate (collinear) inputs give zero-norm
-    # normals; the reference relies on nan_to_num afterwards instead.
-    n1 = u1 / jnp.clip(jnp.linalg.norm(u1, axis=-1, keepdims=True), min=1e-12)
-    n2 = u2 / jnp.clip(jnp.linalg.norm(u2, axis=-1, keepdims=True), min=1e-12)
+    # Guard the normalization: degenerate (collinear / padded) inputs give
+    # zero-norm normals; the eps-floored *squared* sum keeps both the value
+    # and the gradient finite (the reference relies on nan_to_num instead).
+    n1 = u1 / jnp.sqrt(jnp.clip(jnp.sum(u1 * u1, axis=-1, keepdims=True),
+                                min=1e-12))
+    n2 = u2 / jnp.sqrt(jnp.clip(jnp.sum(u2 * u2, axis=-1, keepdims=True),
+                                min=1e-12))
     sgn = jnp.sign(jnp.sum(jnp.cross(v1, v2) * v0, axis=-1))
     cosang = jnp.clip(jnp.sum(n1 * n2, axis=-1), -0.999999, 0.999999)
     return sgn * jnp.arccos(cosang)

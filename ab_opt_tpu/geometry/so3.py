@@ -32,7 +32,10 @@ def skewsym_to_so3vec(S):
 
 def exp_skewsym(S):
     """Rodrigues' formula: exp of a skew-symmetric matrix (..., 3, 3)."""
-    x = jnp.linalg.norm(skewsym_to_so3vec(S), axis=-1)      # rotation angle
+    w = skewsym_to_so3vec(S)
+    # Grad-safe angle: sqrt of an eps-floored squared sum (identity inputs
+    # would otherwise NaN the backward pass).
+    x = jnp.sqrt(jnp.clip(jnp.sum(w * w, axis=-1), min=1e-16))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape)
     # Regularized sinc-style coefficients; limits at x->0 are 1 and 0.5.
     b = (jnp.sin(x) + 1e-8) / (x + 1e-8)

@@ -11,7 +11,11 @@ def safe_norm(x, axis=-1, keepdims=False, eps=1e-8, sqrt=True):
 
 
 def normalize_vector(v, axis=-1, eps=1e-6):
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+    # sqrt of an eps-floored squared sum: zero vectors (padded residues)
+    # yield zero output AND finite gradients — jnp.linalg.norm's 0/0
+    # jacobian would NaN the whole backward pass otherwise.
+    n = jnp.sqrt(jnp.sum(jnp.square(v), axis=axis, keepdims=True) + eps * eps)
+    return v / (n + eps)
 
 
 def project_v2v(v, e, axis=-1):

@@ -133,7 +133,9 @@ class GABlock(nn.Module):
                               vp_g.reshape(N, L, H, PV, 3))      # (N,L,H,PV,3)
             feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
         feat_points = feat_points.reshape(N, L, H, PV, 3)
-        feat_distance = jnp.linalg.norm(feat_points, axis=-1)
+        # Grad-safe norm: aggregated points are exactly zero on padded rows.
+        feat_distance = jnp.sqrt(
+            jnp.sum(feat_points * feat_points, axis=-1) + 1e-12)
         feat_direction = normalize_vector(feat_points, eps=1e-4)
         feat_spatial = jnp.concatenate([
             feat_points.reshape(N, L, -1),

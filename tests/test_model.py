@@ -104,3 +104,29 @@ class TestDiffAb:
                            sample_structure=False, sample_sequence=True)
         pos_ca = np.asarray(batch['pos_heavyatom'][:, :, 1])
         np.testing.assert_allclose(np.asarray(out['p']), pos_ca, atol=1e-4)
+
+    def test_grads_finite_with_padding(self, model):
+        """Real batches have padded rows (pos=0): zero-vector norms must not
+        NaN the backward pass (regression for jnp.linalg.norm 0/0 grads)."""
+        rng = np.random.default_rng(3)
+        batch = make_batch(rng, N=2, L=24)
+        # Pad out the last 8 residues like PaddingCollate would.
+        mask = np.asarray(batch['mask']).copy(); mask[:, 16:] = False
+        pos = np.asarray(batch['pos_heavyatom']).copy(); pos[:, 16:] = 0.0
+        ma = np.asarray(batch['mask_heavyatom']).copy(); ma[:, 16:] = False
+        aa = np.asarray(batch['aa']).copy(); aa[:, 16:] = 21
+        frag = np.asarray(batch['fragment_type']).copy(); frag[:, 16:] = 0
+        batch.update(mask=jnp.asarray(mask), pos_heavyatom=jnp.asarray(pos),
+                     mask_heavyatom=jnp.asarray(ma), aa=jnp.asarray(aa),
+                     fragment_type=jnp.asarray(frag))
+        params = model.init(jax.random.key(10), batch)
+
+        def total(p):
+            d = model.loss(p, batch, jax.random.key(11))
+            return sum(d.values())
+
+        g = jax.grad(total)(params)
+        bad = [jax.tree_util.keystr(path)
+               for path, leaf in jax.tree_util.tree_leaves_with_path(g)
+               if not np.isfinite(np.asarray(leaf)).all()]
+        assert not bad, f'non-finite grads in: {bad[:5]}'
