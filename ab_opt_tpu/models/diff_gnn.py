@@ -281,12 +281,19 @@ class DiffGNN:
     # ------------------------------------------------------------------ sample
 
     def sample(self, params, batch, key, sample_structure: bool = True,
-               sample_sequence: bool = True, keep_traj: bool = False
-               ) -> Dict[str, jnp.ndarray]:
+               sample_sequence: bool = True, keep_traj: bool = False,
+               num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         (coord_n, aa, gen, mask, res_feat, ctx_adj, inter_adj, ctx_edge_attr,
          R_0, v_0, p_0, hyd, chg) = self._prepare(
             params, batch, sample_structure, sample_sequence)
+        if num_replicas > 1:
+            # Trajectory fan-out: embed/edge-construct once, tile after.
+            rep = lambda x: jnp.repeat(x, num_replicas, axis=0)
+            (coord_n, aa, gen, mask, res_feat, ctx_adj, inter_adj,
+             ctx_edge_attr, R_0, v_0, p_0, hyd, chg) = map(
+                rep, (coord_n, aa, gen, mask, res_feat, ctx_adj, inter_adj,
+                      ctx_edge_attr, R_0, v_0, p_0, hyd, chg))
         N, LL = aa.shape
 
         k_v, k_p, k_scan = jax.random.split(key, 3)

@@ -154,10 +154,13 @@ class DesignArgs:
 
 def load_model_from_checkpoint(ckpt_path: str):
     """Rebuild the exact architecture from the checkpoint's embedded config
-    (ref design_for_pdb.py:89-95)."""
+    (ref design_for_pdb.py:89-95). Dispatches on the config's model type
+    (diffab / diff_gnn / ...)."""
+    from ..models import get_model
     saved = load_checkpoint(ckpt_path)
-    model_cfg = saved['config'].get('model', {})
-    model = DiffAb(DiffAbConfig.from_dict(model_cfg))
+    model_cfg = dict(saved['config'].get('model', {'type': 'diffab'}))
+    model_cfg.setdefault('type', 'diffab')
+    model = get_model(model_cfg)
     return model, saved['params'], saved['config']
 
 
@@ -264,7 +267,10 @@ def design_for_pdb(args: DesignArgs) -> Dict:
         model, params, ckpt_cfg = load_model_from_checkpoint(args.ckpt)
         cfg = dict(ckpt_cfg.get('test', {}), **cfg) if ckpt_cfg else cfg
     else:
-        model = DiffAb(DiffAbConfig.from_dict(cfg.get('model', {})))
+        from ..models import get_model
+        model_cfg = dict(cfg.get('model', {}))
+        model_cfg.setdefault('type', 'diffab')
+        model = get_model(model_cfg)
         params = None   # initialized lazily below
 
     log_dir = os.path.join(args.out_root,
@@ -299,14 +305,20 @@ def design_for_structure(structure, model, params, cfg: Dict,
     with open(os.path.join(log_dir, 'metadata.json'), 'w') as f:
         json.dump(metadata, f, indent=2, default=str)
 
-    # Inference crop: patch around anchor (+ optional native wipe).
+    # Inference crop: patch around anchor (+ optional native wipe). The
+    # graph model additionally needs hotspot labels + property channels.
+    model_type = cfg.get('model', {}).get('type', 'diffab')
+    is_gnn = model_type == 'diff_gnn' or model.__class__.__name__ == 'DiffGNN'
     patch_cfg = {
-        'type': 'patch_around_anchor',
+        'type': 'patch_around_anchor_hotspot' if is_gnn else 'patch_around_anchor',
         'initial_patch_size': cfg.get('model', {}).get('initial_patch_size', 128),
         'antigen_size': cfg.get('model', {}).get('antigen_size', 128),
         'remove_anchor': cfg.get('model', {}).get('remove_anchor', False),
     }
     inference_steps = [patch_cfg]
+    if is_gnn:
+        inference_steps.append({'type': 'aa_label', 'hydropathy': True,
+                                'charge': True})
     sample_structure = sampling_cfg.get('sample_structure', True)
     sample_sequence = sampling_cfg.get('sample_sequence', True)
     if mode != 'abopt' and not args.contig:
@@ -377,8 +389,10 @@ def design_for_structure(structure, model, params, cfg: Dict,
                 aa_i = out['s'][i]
                 pos_i = out['pos_atom_new'][i]
                 mask_i = out['mask_atom_new'][i]
-                prmsd_i = round(float(out['prmsd'][:, i].mean()), 6)
-                ppl_i = round(float(out['perplexity'][-1, i]), 6)
+                prmsd_i = (round(float(out['prmsd'][:, i].mean()), 6)
+                           if 'prmsd' in out else float('nan'))
+                ppl_i = (round(float(out['perplexity'][-1, i]), 6)
+                         if 'perplexity' in out else float('nan'))
 
                 aa, pos_ha, mask_ha = _paste_sample(
                     data_tmpl, data_cropped, aa_i[:len(data_cropped['aa'])],

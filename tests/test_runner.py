@@ -81,3 +81,25 @@ def test_abopt_mode(tmp_path):
         keep_traj=False, run_dockq=False, seed=0)
     results = design_for_pdb(args)
     assert 'H_CDR3-O2' in results
+
+
+def test_design_with_diff_gnn(tmp_path):
+    """The runner dispatches on model type: diff_gnn end-to-end."""
+    cfg = {
+        'mode': 'single_cdr',
+        'sampling': {'cdrs': ['H_CDR3'], 'sample_structure': True,
+                     'sample_sequence': True},
+        'model': {'type': 'diff_gnn', 'res_feat_dim': 16, 'edge_feat_dim': 8,
+                  'hidden_size': 16, 'num_steps': 3, 'n_layers': 1,
+                  'dropout': 0.0, 'initial_patch_size': 0, 'antigen_size': 16,
+                  'remove_anchor': True},
+    }
+    args = DesignArgs(
+        pdb_path=str(PDB), config=cfg, heavy='A', light='B',
+        num_samples=2, batch_size=2, topk=1, out_root=str(tmp_path),
+        keep_traj=False, run_dockq=False, seed=0)
+    results = design_for_pdb(args)
+    summ = results['H_CDR3']
+    assert 0 <= summ['AAR_mean'] <= 1
+    out_dir = next(tmp_path.glob('7DK2*'))
+    assert (out_dir / 'H_CDR3' / '0000.pdb').exists()
