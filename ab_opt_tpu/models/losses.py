@@ -39,7 +39,8 @@ def pairwise_distance_loss(p_pred, p_true, mask_generate, mask_res):
     """
     def cdist(p):
         sq = jnp.sum(p * p, axis=-1)
-        cross = jnp.einsum('nix,njx->nij', p, p)
+        cross = jnp.einsum('nix,njx->nij', p, p,
+                           precision=jax.lax.Precision.HIGHEST)
         return jnp.sqrt(jnp.clip(sq[:, :, None] + sq[:, None, :] - 2 * cross,
                                  min=1e-12))
 

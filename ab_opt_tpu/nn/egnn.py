@@ -38,10 +38,11 @@ def radial_features(x, adj):
       (radial, dist, coord_diff): (N, L, L, C, C) x2 and (N, L, L, C, 3),
       with radial/dist L2-normalized over all valid edges per channel pair.
     """
+    hi_prec = jax.lax.Precision.HIGHEST   # K=3 coordinate contractions
     diff = x[:, :, None, :, :] - x[:, None, :, :, :]          # (N,L,L,C,3)
-    radial = jnp.einsum('nijcx,nijdx->nijcd', diff, diff)     # Gram
+    radial = jnp.einsum('nijcx,nijdx->nijcd', diff, diff, precision=hi_prec)
     # Channel-pair distances between x_i and x_j (not differences).
-    cross = jnp.einsum('nicx,njdx->nijcd', x, x)
+    cross = jnp.einsum('nicx,njdx->nijcd', x, x, precision=hi_prec)
     sq = jnp.sum(x * x, axis=-1)                              # (N,L,C)
     d2 = jnp.clip(sq[:, :, None, :, None] + sq[:, None, :, None, :]
                   - 2.0 * cross, min=1e-12)

@@ -151,7 +151,10 @@ class PairEmbedding(nn.Module):
         # d2[n,i,j,a,b] = |p_ia|^2 + |p_jb|^2 - 2 <p_ia, p_jb>  (MXU cross term)
         p = angstrom_to_nm(pos_atoms.astype(jnp.float32))        # (N, L, A, 3)
         sq = jnp.sum(p * p, axis=-1)                             # (N, L, A)
-        cross = jnp.einsum('niax,njbx->nijab', p, p)             # (N, L, L, A, A)
+        # K=3 contraction on ~30A coordinates: full precision (TPU default
+        # bf16 accumulation would corrupt the Gaussian distance features).
+        cross = jnp.einsum('niax,njbx->nijab', p, p,
+                           precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.clip(sq[:, :, None, :, None] + sq[:, None, :, None, :]
                       - 2.0 * cross, min=0.0)
         d2 = d2.reshape(N, L, L, A * A)
