@@ -180,6 +180,12 @@ class BatchedSampler:
 
         def run(params, batch, key, num_replicas):
             if opt_step is not None:
+                if not hasattr(model, 'optimize'):
+                    # The reference's DiffusionGNN.optimize is dead code
+                    # (references undefined attrs, diff_gnn.py:305-325).
+                    raise NotImplementedError(
+                        f'{type(model).__name__} has no optimize path; use '
+                        'the diffab model for abopt mode')
                 # The optimize path starts from the native state; replicate
                 # the input batch (cheap: no encode fan-out needed there).
                 if num_replicas > 1:
