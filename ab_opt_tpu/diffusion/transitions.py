@@ -101,6 +101,19 @@ class PositionTransition(NamedTuple):
         p_next = mean + jnp.sqrt(var) * z
         return _mask_mix(mask_generate, p_next, p_t)
 
+    def ddim_step(self, p_t, eps_p, mask_generate, t, t_next):
+        """Deterministic DDIM (eta=0) jump t -> t_next (t_next < t).
+
+        Not part of the reference (always 100 ancestral steps); provides the
+        opt-in strided-sampling speed/quality knob. p_0 is recovered from the
+        predicted noise, then re-noised analytically at level t_next.
+        """
+        p_0 = self.pred_start_from_noise(p_t, eps_p, mask_generate, t)
+        abar_next = broadcast_coef(self.sched.alpha_bars, t_next, p_t.ndim)
+        p_next = (jnp.sqrt(abar_next) * p_0
+                  + jnp.sqrt(1.0 - abar_next) * eps_p)
+        return _mask_mix(mask_generate, p_next, p_t)
+
     def pred_start_from_noise(self, p_t, eps_p, mask_generate, t):
         """p_0 = 1/sqrt(abar) p_t - sqrt(1/abar - 1) eps."""
         cr = broadcast_coef(self.sched.sqrt_recip_alpha_bars, t, p_t.ndim)

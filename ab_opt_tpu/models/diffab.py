@@ -279,7 +279,7 @@ class DiffAb:
     def _reverse_scan(self, params, key, state_init, res_feat, pair_feat,
                       mask_generate, mask_res, t_start: int,
                       sample_structure: bool, sample_sequence: bool,
-                      keep_traj: bool):
+                      keep_traj: bool, stride: int = 1):
         """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
         # Hoist scan-invariant pair-derived tensors for the pallas path.
         # (For the einsum path, XLA's inline bias fusion measured faster than
@@ -290,11 +290,13 @@ class DiffAb:
         pair_biases = None
         zT = jnp.swapaxes(pair_feat, -1, -2) if self._use_pallas else None
 
-        def step(carry, t):
+        def step(carry, ts):
+            t, t_next = ts
             v_t, p_t, s_t, key = carry
             key, k_rot, k_pos, k_seq = jax.random.split(key, 4)
             N = v_t.shape[0]
             t_vec = jnp.full((N,), t, jnp.int32)
+            t_next_vec = jnp.full((N,), t_next, jnp.int32)
             beta = self.trans_pos.sched.betas[t_vec]
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
@@ -309,8 +311,18 @@ class DiffAb:
             else:
                 eps_p = p_pred
 
-            v_new = self.trans_rot.denoise(k_rot, v_t, v_next, mask_generate, t_vec)
-            p_new = self.trans_pos.denoise(k_pos, p_t, eps_p, mask_generate, t_vec)
+            if stride == 1:
+                v_new = self.trans_rot.denoise(k_rot, v_t, v_next,
+                                               mask_generate, t_vec)
+                p_new = self.trans_pos.denoise(k_pos, p_t, eps_p,
+                                               mask_generate, t_vec)
+            else:
+                # Strided jump: DDIM positions; the rotation head predicts
+                # the clean orientation, re-noised at the target level.
+                v_new = self.trans_rot.denoise(k_rot, v_t, v_next,
+                                               mask_generate, t_next_vec)
+                p_new = self.trans_pos.ddim_step(p_t, eps_p, mask_generate,
+                                                 t_vec, t_next_vec)
             post, s_new = self.trans_seq.denoise(k_seq, s_t, c_denoised,
                                                  mask_generate, t_vec)
             ppl = L.sequence_perplexity(post, mask_generate)
@@ -325,14 +337,17 @@ class DiffAb:
                 out |= {'v': v_new, 'p': self.unnormalize_position(p_new), 's': s_new}
             return (v_new, p_new, s_new, key), out
 
-        ts = jnp.arange(t_start, 0, -1)
-        (v, p, s, _), outs = jax.lax.scan(step, state_init + (key,), ts)
+        ts = jnp.arange(t_start, 0, -stride)
+        ts_next = jnp.maximum(ts - stride, 0)
+        (v, p, s, _), outs = jax.lax.scan(step, state_init + (key,),
+                                          (ts, ts_next))
         return v, p, s, outs
 
     def sample(self, params, batch, key, sample_structure: bool = True,
                sample_sequence: bool = True, keep_traj: bool = False,
                contig: Optional[jnp.ndarray] = None,
-               num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
+               num_replicas: int = 1, stride: int = 1
+               ) -> Dict[str, jnp.ndarray]:
         """Full reverse-diffusion sampling (ref dpm_full.py:237-302).
 
         ``num_replicas`` > 1 implements the trajectory fan-out natively:
@@ -377,7 +392,7 @@ class DiffAb:
         v, p, s, outs = self._reverse_scan(
             params, k_scan, (v, p, s), res_feat, pair_feat, mask_generate,
             mask_res, self.cfg.num_steps, sample_structure, sample_sequence,
-            keep_traj)
+            keep_traj, stride=stride)
 
         result = {
             'v': v, 'p': self.unnormalize_position(p), 's': s,

@@ -130,3 +130,14 @@ class TestDiffAb:
                for path, leaf in jax.tree_util.tree_leaves_with_path(g)
                if not np.isfinite(np.asarray(leaf)).all()]
         assert not bad, f'non-finite grads in: {bad[:5]}'
+
+    def test_strided_sampling(self, model, setup):
+        """DDIM-style stride: fewer denoiser calls, same output contract."""
+        batch, params = setup
+        out = model.sample(params, batch, jax.random.key(12), stride=2)
+        N, L = batch['aa'].shape
+        assert out['prmsd'].shape[0] == CFG.num_steps // 2
+        assert np.isfinite(np.asarray(out['p'])).all()
+        ctx = ~np.asarray(batch['generate_flag'])
+        np.testing.assert_array_equal(np.asarray(out['s'])[ctx],
+                                      np.asarray(batch['aa'])[ctx])
