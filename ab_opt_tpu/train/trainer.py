@@ -172,7 +172,10 @@ class Trainer:
             logger.warning('Could not set learning rate dynamically')
 
     def train_step(self, batch_np: Dict, key) -> Dict[str, float]:
-        batch = to_device_batch(batch_np)
+        return self._train_step_device(batch_np, to_device_batch(batch_np), key)
+
+    def _train_step_device(self, batch_np: Dict, batch: Dict, key
+                           ) -> Dict[str, float]:
         self.params, self.opt_state, losses = self.step_fn(
             self.params, self.opt_state, batch, key)
         losses = {k: float(v) for k, v in losses.items()}
@@ -227,11 +230,23 @@ class Trainer:
         val_freq = int(self.cfg.get('val_freq', 1000))
         key = jax.random.key(seed + 1)
 
+        # Device prefetch: keep the next batch's H2D transfer in flight
+        # while the current step computes (async dispatch overlaps them).
+        from collections import deque
+        pending = deque()
+
+        def fetch():
+            b = next(train_iterator)
+            pending.append((b, to_device_batch(b)))
+
+        fetch()
         t_last = time.time()
         while self.iteration < max_iters:
-            batch_np = next(train_iterator)
-            losses = self.train_step(batch_np,
-                                     jax.random.fold_in(key, self.iteration))
+            batch_np, batch_dev = pending.popleft()
+            if self.iteration + 1 < max_iters:
+                fetch()
+            losses = self._train_step_device(
+                batch_np, batch_dev, jax.random.fold_in(key, self.iteration))
             if on_step is not None:
                 on_step(self.iteration, losses)
             if self.iteration % log_every == 0:
