@@ -150,6 +150,7 @@ class DesignArgs:
     keep_traj: bool = True
     run_dockq: bool = True
     id: str = ''
+    stride: int = 1                     # >1: strided (DDIM-style) sampling
 
 
 def load_model_from_checkpoint(ckpt_path: str):
@@ -173,7 +174,7 @@ class BatchedSampler:
 
     def __init__(self, model: DiffAb, params, sample_structure=True,
                  sample_sequence=True, keep_traj=False,
-                 opt_step: Optional[int] = None):
+                 opt_step: Optional[int] = None, stride: int = 1):
         self.model = model
         self.params = params
         self.keep_traj = keep_traj
@@ -195,11 +196,12 @@ class BatchedSampler:
                                      sample_sequence=sample_sequence,
                                      keep_traj=keep_traj)
             else:
+                kw = {'stride': stride} if stride != 1 else {}
                 out = model.sample(params, batch, key,
                                    sample_structure=sample_structure,
                                    sample_sequence=sample_sequence,
                                    keep_traj=keep_traj,
-                                   num_replicas=num_replicas)
+                                   num_replicas=num_replicas, **kw)
             # Tile the context batch to the trajectory axis for backbone
             # reconstruction (sample() encodes once and fans out internally).
             B = out['s'].shape[0]
@@ -360,7 +362,8 @@ def design_for_structure(structure, model, params, cfg: Dict,
                                  sample_structure=sample_structure,
                                  sample_sequence=sample_sequence,
                                  keep_traj=args.keep_traj,
-                                 opt_step=variant.get('opt_step'))
+                                 opt_step=variant.get('opt_step'),
+                                 stride=args.stride)
 
         # Native reference patch (antigen + patch region) for DockQ.
         data_tmpl = variant['data']

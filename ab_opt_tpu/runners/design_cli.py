@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument('-t', '--tag', type=str, default='')
     parser.add_argument('-s', '--seed', type=int, default=0)
     parser.add_argument('--no_dockq', action='store_true', default=False)
+    parser.add_argument('--stride', type=int, default=1,
+                        help='Strided (DDIM-style) sampling: >1 trades '
+                             'quality for k-fold fewer denoiser steps.')
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -37,7 +40,7 @@ def main(argv=None):
         num_samples=args.num_samples, batch_size=args.batch_size,
         topk=args.topk, seed=args.seed, out_root=args.out_root, tag=args.tag,
         contig=args.contig, label_heavy_as_cdr=args.label_heavy_as_cdr,
-        run_dockq=not args.no_dockq, id=args.id)
+        run_dockq=not args.no_dockq, id=args.id, stride=args.stride)
     results = design_for_pdb(design_args)
     print(results)
     return results
