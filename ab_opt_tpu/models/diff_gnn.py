@@ -282,7 +282,8 @@ class DiffGNN:
 
     def sample(self, params, batch, key, sample_structure: bool = True,
                sample_sequence: bool = True, keep_traj: bool = False,
-               num_replicas: int = 1) -> Dict[str, jnp.ndarray]:
+               num_replicas: int = 1, stride: int = 1
+               ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         (coord_n, aa, gen, mask, res_feat, ctx_adj, inter_adj, ctx_edge_attr,
          R_0, v_0, p_0, hyd, chg) = self._prepare(
@@ -308,16 +309,28 @@ class DiffGNN:
         static = (coord_n, gen, mask, res_feat, ctx_adj, inter_adj,
                   ctx_edge_attr, hyd, chg)
 
-        def step(carry, t):
+        def step(carry, ts):
+            t, t_next = ts
             v_t, p_t, s_t, key = carry
             key, k_rd, k_pd = jax.random.split(key, 3)
-            t_vec = jnp.full((N,), t, jnp.int32)
-            t_res = jnp.broadcast_to(t_vec[:, None], (N, LL))
+            t_res = jnp.broadcast_to(jnp.full((N,), t, jnp.int32)[:, None],
+                                     (N, LL))
             aa_logits, z, R_pred, p0_pred = self._denoiser(
                 params, (v_t, p_t, t_res), static)
             v_next = rotation_to_so3vec(R_pred)
-            v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen, t_res)
-            p_new = self.trans_pos.denoise_from_p0(k_pd, p_t, p0_pred, gen, t_res)
+            if stride == 1:
+                v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen, t_res)
+                p_new = self.trans_pos.denoise_from_p0(k_pd, p_t, p0_pred,
+                                                       gen, t_res)
+            else:
+                t_next_res = jnp.broadcast_to(
+                    jnp.full((N,), t_next, jnp.int32)[:, None], (N, LL))
+                v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen,
+                                               t_next_res)
+                eps_p = self.trans_pos.pred_noise_from_start(
+                    p_t, p0_pred, gen, t_res)
+                p_new = self.trans_pos.ddim_step(p_t, eps_p, gen, t_res,
+                                                 t_next_res)
             s_new = jnp.where(gen, aa_logits.argmax(-1), s_t)
             if not sample_structure:
                 v_new, p_new = v_t, p_t
@@ -329,8 +342,9 @@ class DiffGNN:
                        's': s_new}
             return (v_new, p_new, s_new, key), out
 
+        ts = jnp.arange(cfg.num_steps, 0, -stride)
         (v, p, s, _), outs = jax.lax.scan(
-            step, (v, p, s, k_scan), jnp.arange(cfg.num_steps, 0, -1))
+            step, (v, p, s, k_scan), (ts, jnp.maximum(ts - stride, 0)))
 
         result = {'v': v, 'p': self.unnormalize_position(p), 's': s}
         if keep_traj:

@@ -151,3 +151,11 @@ class TestPropertyTables:
         # Full dropout -> all unknown.
         out2 = Label(hydropathy=True, charge=True, drop_prob=1.0)(dict(data), rng)
         assert (out2['hydropathy'][1:] == int(Hydropathy.unknown)).all()
+
+    def test_strided_sampling_gnn(self, setup):
+        model, batch, params = setup
+        out = model.sample(params, batch, jax.random.key(13), stride=2)
+        assert np.isfinite(np.asarray(out['p'])).all()
+        ctx = ~np.asarray(batch['generate_flag'])
+        np.testing.assert_array_equal(np.asarray(out['s'])[ctx],
+                                      np.asarray(batch['aa'])[ctx])
