@@ -346,7 +346,6 @@ def design_for_structure(structure, model, params, cfg: Dict,
         data_cropped = inference_tfm(copy.deepcopy(variant['data']), rng=rng)
         single = collate([data_cropped])
 
-        contig_mask = None
         if args.contig:
             gen_idx = np.flatnonzero(single['generate_flag'][0])
             contig = generate_mask_from_contig(args.contig, len(gen_idx))
@@ -470,7 +469,7 @@ def _save_trajectory(out, batch_np, data_tmpl, data_cropped, path,
               for k, v in batch_np.items()}
         pos_new, mask_new = reconstruct_backbone_partially(
             b1['pos_heavyatom'],
-            so3vec_to_rotation(v_t), model_norm_noop(p_t), s_t,
+            so3vec_to_rotation(v_t), p_t, s_t,
             b1['chain_nb'], b1['res_nb'], b1['mask_heavyatom'],
             b1['generate_flag'])
         aa, pos_ha, mask_ha = _paste_sample(
@@ -482,11 +481,6 @@ def _save_trajectory(out, batch_np, data_tmpl, data_cropped, path,
         chunks.append(f'MODEL     {step + 1}\n{text}ENDMDL\n')
     with open(path, 'w') as f:
         f.write(''.join(chunks))
-
-
-def model_norm_noop(p):
-    # Trajectory positions are already unnormalized by the sampler.
-    return p
 
 
 def _write_csvs(results: Dict, aa_rows: List[Dict], log_dir: str):
