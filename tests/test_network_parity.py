@@ -179,3 +179,43 @@ class TestLossParity:
         ref = calc_perplexity(torch.from_numpy(logits), torch.from_numpy(mask)).numpy()
         got = np.asarray(sequence_perplexity(jnp.asarray(logits), jnp.asarray(mask)))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestProductionDimsParity:
+    def test_epsilon_net_production_config(self, reference_abdock, batch):
+        """Converted-weight forward parity at the real 6-layer 128/64 dims."""
+        _, torch = reference_abdock
+        from src.modules.diffusion.dpm_full import EpsilonNet as RefEps
+        F, C, LAYERS, BINS = 128, 64, 6, 40
+        torch.manual_seed(7)
+        ref = RefEps(F, C, num_layers=LAYERS, no_bins=BINS).eval()
+        params = {'params': tc.convert_eps_net(
+            {f'diffusion.eps_net.{k}': v for k, v in ref.state_dict().items()},
+            num_layers=LAYERS)}
+
+        rng = np.random.default_rng(11)
+        N, L = 1, 24
+        v_t = (rng.normal(size=(N, L, 3)) * 0.8).astype(np.float32)
+        p_t = rng.normal(size=(N, L, 3)).astype(np.float32)
+        s_t = rng.integers(0, 20, (N, L))
+        res_feat = rng.normal(size=(N, L, F)).astype(np.float32)
+        pair_feat = (rng.normal(size=(N, L, L, C)) * 0.3).astype(np.float32)
+        beta = np.asarray([0.4], np.float32)
+        mask_gen = np.zeros((N, L), bool); mask_gen[:, 8:16] = True
+        mask_res = np.ones((N, L), bool)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(v_t), torch.from_numpy(p_t),
+                          torch.from_numpy(s_t), torch.from_numpy(res_feat),
+                          torch.from_numpy(pair_feat), torch.from_numpy(beta),
+                          torch.from_numpy(mask_gen), torch.from_numpy(mask_res))
+        model = EpsilonNet(F, C, LAYERS, num_bins=BINS)
+        got = model.apply(params, jnp.asarray(v_t), jnp.asarray(p_t),
+                          jnp.asarray(s_t), jnp.asarray(res_feat),
+                          jnp.asarray(pair_feat), jnp.asarray(beta),
+                          jnp.asarray(mask_gen), jnp.asarray(mask_res))
+        names = ('v', 'R', 'eps_pos', 'c', 'prmsd')
+        for g, r, name in zip(got, ref_out, names):
+            tol = 5e-3 if name == 'v' else 1e-3
+            np.testing.assert_allclose(np.asarray(g), r.numpy(), atol=tol,
+                                       err_msg=name)
