@@ -169,23 +169,6 @@ class DiffAb:
         return self.net.apply(params, batch, remove_structure, remove_sequence,
                               method=DiffAbNet.encode)
 
-    def precompute_pair_biases(self, params, pair_feat):
-        """Per-block pair-attention biases, head-major (layers, N, H, L, L).
-
-        The pair features are frozen during the reverse loop, so each
-        GABlock's proj_pair_bias projection is hoisted out of the scan. Used
-        by the pallas IPA path, which streams the bias block once per layer
-        per step; the XLA einsum path computes the bias inline instead
-        (measured faster there thanks to fusion).
-        """
-        blocks = params['params']['eps_net']['encoder']
-        kernels = []
-        n_layers = self.cfg.num_layers
-        for i in range(n_layers):
-            kernels.append(blocks[f'block_{i}']['proj_pair_bias']['kernel'])
-        kernel = jnp.stack(kernels, axis=0)              # (layers, C, H)
-        return jnp.einsum('nijc,lch->lnhij', pair_feat, kernel)
-
     # ----------------------------------------------------------------- train
 
     def loss(self, params, batch, key, t: Optional[jnp.ndarray] = None,
@@ -247,7 +230,10 @@ class DiffAb:
             p_true, pred_p0 = p_0, p_pred
         else:
             p_true = p_noisy
-            pred_p0 = self.trans_pos.pred_start_from_noise(p_0, p_pred, mask_generate, t)
+            # NB: mirrors the reference exactly (dpm_full.py:189), which
+            # passes p_0 — not p_noisy — as the state here.
+            pred_p0 = self.trans_pos.pred_start_from_noise(
+                p_0, p_pred, mask_generate, t)
 
         loss_dict = {}
         rmsd = L.masked_rmsd(self.unnormalize_position(pred_p0),
@@ -281,12 +267,10 @@ class DiffAb:
                       sample_structure: bool, sample_sequence: bool,
                       keep_traj: bool, stride: int = 1):
         """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
-        # Hoist scan-invariant pair-derived tensors for the pallas path.
-        # (For the einsum path, XLA's inline bias fusion measured faster than
-        # reading a precomputed tensor, so it gets None.)
         # The pallas kernel computes the pair bias in-VMEM from the resident
-        # zT tile; only the transpose is hoisted. The einsum path computes
-        # the bias inline (XLA fusion measured faster than a hoisted read).
+        # zT tile, so only the transpose is hoisted out of the scan; the
+        # einsum path computes the bias inline (XLA fusion measured faster
+        # than reading a hoisted tensor).
         pair_biases = None
         zT = jnp.swapaxes(pair_feat, -1, -2) if self._use_pallas else None
 
