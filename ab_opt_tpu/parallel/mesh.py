@@ -24,6 +24,13 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = 'dp') -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'make_mesh({n_devices}) but only {len(devices)} JAX devices '
+                f'are available ({jax.default_backend()} backend); set '
+                f'JAX_PLATFORMS=cpu with '
+                f'--xla_force_host_platform_device_count={n_devices} for a '
+                f'virtual mesh')
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
