@@ -119,11 +119,11 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res, pair_biases=None, zT=None,
-                     use_pallas=None):
+                     mask_generate, mask_res, pair_biases=None,
+                     use_pallas=None, reps: int = 1):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
-                            zT=zT, use_pallas=use_pallas)
+                            use_pallas=use_pallas, reps=reps)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -219,11 +219,11 @@ class DiffAb:
             s_noisy = s_0
 
         beta = self.trans_pos.sched.betas[t]
-        # use_pallas=False: training differentiates through the encoder and
-        # the fused kernel has no custom VJP (yet) — XLA einsum path instead.
+        # The fused pallas kernel has a custom VJP (ops/ipa_pallas.py), so
+        # training differentiates through whichever IPA impl is configured.
         v_pred, R_pred, p_pred, c_denoised, prmsd_logits = self.net.apply(
             params, v_noisy, p_noisy, s_noisy, res_feat, pair_feat, beta,
-            mask_generate, mask_res, None, None, False,
+            mask_generate, mask_res, None, None,
             method=DiffAbNet.denoise_step)
 
         if cfg.obj == 'pred_x0':
@@ -265,14 +265,25 @@ class DiffAb:
     def _reverse_scan(self, params, key, state_init, res_feat, pair_feat,
                       mask_generate, mask_res, t_start: int,
                       sample_structure: bool, sample_sequence: bool,
-                      keep_traj: bool, stride: int = 1):
-        """Shared T->0 reverse loop as lax.scan (positions stay normalized)."""
-        # The pallas kernel computes the pair bias in-VMEM from the resident
-        # zT tile, so only the transpose is hoisted out of the scan; the
-        # einsum path computes the bias inline (XLA fusion measured faster
-        # than reading a hoisted tensor).
+                      keep_traj: bool, stride: int = 1, reps: int = 1):
+        """Shared T->0 reverse loop as lax.scan (positions stay normalized).
+
+        ``reps`` > 1 marks trajectory fan-out: ``pair_feat`` stays
+        per-complex (leading dim N // reps) and is shared by the replicas
+        inside the attention (never materialized at full N).
+        """
+        # The pair features are constant across diffusion steps, so the
+        # per-layer pair-bias projections are hoisted out of the scan for
+        # the fused pallas path (one einsum per layer per complex instead of
+        # per step). The einsum path computes the bias inline (XLA fusion
+        # measured faster than reading a hoisted (N, L, L, H) tensor).
         pair_biases = None
-        zT = jnp.swapaxes(pair_feat, -1, -2) if self._use_pallas else None
+        if self._use_pallas:
+            from ..nn.ipa import precompute_encoder_pair_biases
+            enc_params = params['params']['eps_net']['encoder']
+            pair_biases = precompute_encoder_pair_biases(
+                enc_params, pair_feat, mask_res[::reps], self.cfg.num_layers,
+                dtype=self.cfg.compute_dtype)
 
         def step(carry, ts):
             t, t_next = ts
@@ -285,7 +296,7 @@ class DiffAb:
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                mask_generate, mask_res, pair_biases, zT,
+                mask_generate, mask_res, pair_biases, None, reps,
                 method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)
@@ -352,9 +363,10 @@ class DiffAb:
             params, batch, sample_structure, sample_sequence)
 
         if num_replicas > 1:
+            # pair_feat stays per-complex: the replicas share it inside the
+            # attention (bias + value-from-pair read it via n // reps).
             rep = lambda x: jnp.repeat(x, num_replicas, axis=0)
-            res_feat, pair_feat, R_0, p_ctx = map(
-                rep, (res_feat, pair_feat, R_0, p_ctx))
+            res_feat, R_0, p_ctx = map(rep, (res_feat, R_0, p_ctx))
             mask_generate = rep(mask_generate)
             mask_res = rep(mask_res)
             batch = dict(batch, aa=rep(batch['aa']))
@@ -376,7 +388,7 @@ class DiffAb:
         v, p, s, outs = self._reverse_scan(
             params, k_scan, (v, p, s), res_feat, pair_feat, mask_generate,
             mask_res, self.cfg.num_steps, sample_structure, sample_sequence,
-            keep_traj, stride=stride)
+            keep_traj, stride=stride, reps=num_replicas)
 
         result = {
             'v': v, 'p': self.unnormalize_position(p), 's': s,

@@ -39,12 +39,14 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res, pair_biases=None, zT=None,
-                 use_pallas=None):
+                 mask_generate, mask_res, pair_biases=None,
+                 use_pallas=None, reps: int = 1):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
-          s_t: (N, L) int aa codes; res_feat: (N, L, F); pair_feat: (N, L, L, C);
+          s_t: (N, L) int aa codes; res_feat: (N, L, F); pair_feat:
+            (N, L, L, C) — or (N // reps, L, L, C) under trajectory fan-out
+            (replicas share their complex's pair tensor);
           beta: (N,) schedule value at t; mask_generate / mask_res: (N, L).
         """
         N, L = mask_res.shape
@@ -61,7 +63,7 @@ class EpsilonNet(nn.Module):
                              use_pallas=self.use_pallas,
                              name='encoder')(R, p_t, res_feat, pair_feat,
                                              mask_res, pair_biases=pair_biases,
-                                             zT=zT, use_pallas=use_pallas)
+                                             use_pallas=use_pallas, reps=reps)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

@@ -10,8 +10,9 @@ attention onto the MXU:
   reference's (N, L, L, H, P*3) broadcast-subtract;
 * aggregation:   alpha-weighted contractions over the j axis.
 
-An optional fused Pallas kernel (ab_opt_tpu.ops.ipa_pallas) can replace the
-attention inner loop on TPU; the einsum path is the reference semantics.
+A fused Pallas kernel (ab_opt_tpu.ops.ipa_pallas) replaces the attention
+inner loop on TPU — with a custom VJP, so training runs fused as well; the
+einsum path is the reference semantics and the CPU/GPU fallback.
 """
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import jax
 
 from ..geometry import global_to_local, local_to_global, normalize_vector
-from ..ops.ipa_pallas import fused_ipa_from_flat
+from ..ops.ipa_pallas import fused_ipa_from_flat, precompute_pair_bias
 
 
 def _masked_softmax(logits, mask, axis, inf=1e5):
@@ -50,16 +51,21 @@ class GABlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, R, t, x, z, mask, pair_bias=None, zT=None,
-                 use_pallas=None):
+    def __call__(self, R, t, x, z, mask, pair_bias=None, use_pallas=None,
+                 reps: int = 1):
         """
         Args:
           R: (N, L, 3, 3) frame bases; t: (N, L, 3) frame origins;
-          x: (N, L, F) node feats; z: (N, L, L, C) pair feats; mask: (N, L);
+          x: (N, L, F) node feats; z: pair feats — (N, L, L, C), or
+            (N // reps, L, L, C) when ``reps`` > 1 (trajectory fan-out: the
+            replicas of one complex share its pair tensor; see
+            DiffAb.sample(num_replicas)); mask: (N, L);
           pair_bias: optional precomputed pair-attention bias — constant
             across diffusion steps, so samplers hoist it out of the reverse
-            scan. Layout: (N, L, L, H) for the einsum path, head-major
-            (N, H, L, L) for the pallas path.
+            scan. Layout: (N, L, L, H) raw for the einsum path; head-major
+            per-complex (N//reps, H, L, L), pre-scaled by 1/sqrt(3) with the
+            column mask folded in (ops.ipa_pallas.precompute_pair_bias), for
+            the pallas path.
         Returns: updated node feats (N, L, F).
         """
         use_pallas = self.use_pallas if use_pallas is None else use_pallas
@@ -90,16 +96,56 @@ class GABlock(nn.Module):
                               dtype=self.dtype)
 
         if use_pallas:
-            # Fused kernel path: logits+softmax+aggregation in VMEM, pair
-            # features streamed once (ab_opt_tpu/ops/ipa_pallas.py).
+            # Fused kernel path: logits+softmax+aggregation in VMEM
+            # (ab_opt_tpu/ops/ipa_pallas.py); pair bias precomputed here (or
+            # hoisted by the sampler), pair aggregation via XLA einsum.
             assert not self.bias, 'pallas IPA path assumes bias-free projections'
-            pair_w = bias_dense(jnp.eye(z.shape[-1], dtype=self.dtype))
+            if pair_bias is None:
+                pair_w = bias_dense(jnp.eye(z.shape[-1], dtype=self.dtype))
+                mask_c = mask[::reps] if reps > 1 else mask
+                pair_bias = precompute_pair_bias(z, pair_w, mask_c,
+                                                 out_dtype=self.dtype)
             interp = jax.default_backend() != 'tpu'
             feat_p2n, feat_node, pts = fused_ipa_from_flat(
                 q, k, qp, kp, v, vp_g.reshape(N, L, H * PV * 3), z,
-                pair_w, spatial_coef.reshape(H), mask.astype(jnp.float32),
-                zT=zT, interpret=interp)
+                None, spatial_coef.reshape(H), mask.astype(jnp.float32),
+                pair_bias=pair_bias, reps=reps, interpret=interp)
             aggr = pts.reshape(N, L, H, PV, 3)
+            feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
+        elif reps > 1:
+            # Einsum path with a shared per-complex pair tensor: fold the
+            # replica axis next to the batch axis and broadcast z terms.
+            q = q.reshape(N, L, H, QK)
+            k = k.reshape(N, L, H, QK)
+            v = v.reshape(N, L, H, V)
+            qp_h = qp.reshape(N, L, H, P * 3)
+            kp_h = kp.reshape(N, L, H, P * 3)
+
+            logits_node = jnp.einsum('nihc,njhc->nijh', q, k) / math.sqrt(QK)
+            if pair_bias is None:
+                pair_bias = bias_dense(z)                  # (Nc, L, L, H)
+            sq_q = jnp.sum(qp_h * qp_h, axis=-1)
+            sq_k = jnp.sum(kp_h * kp_h, axis=-1)
+            cross = jnp.einsum('nihc,njhc->nijh', qp_h, kp_h)
+            sum_sq_dist = (sq_q[:, :, None, :] + sq_k[:, None, :, :]
+                           - 2.0 * cross)
+            logits_spatial = sum_sq_dist * spatial_coef.astype(sum_sq_dist.dtype)
+
+            Nc = N // reps
+            r5 = lambda a: a.reshape(Nc, reps, L, L, H)
+            logits_sum = ((r5(logits_node) + pair_bias[:, None]
+                           + r5(logits_spatial)) * math.sqrt(1 / 3))
+            alpha = _masked_softmax(
+                logits_sum.reshape(N, L, L, H).astype(jnp.float32),
+                mask.astype(bool), axis=2)
+            alpha = alpha.astype(self.dtype)
+
+            feat_p2n = jnp.einsum('nrijh,nijc->nrihc',
+                                  alpha.reshape(Nc, reps, L, L, H),
+                                  z).reshape(N, L, -1)
+            feat_node = jnp.einsum('nijh,njhc->nihc', alpha, v).reshape(N, L, -1)
+            aggr = jnp.einsum('nijh,njhpx->nihpx', alpha,
+                              vp_g.reshape(N, L, H, PV, 3))
             feat_points = global_to_local(R, t, aggr.reshape(N, L, H * PV, 3))
         else:
             q = q.reshape(N, L, H, QK)
@@ -158,11 +204,35 @@ class GABlock(nn.Module):
         return x
 
 
+def precompute_encoder_pair_biases(encoder_params, z, mask, num_layers: int,
+                                   dtype=None):
+    """Hoist every GABlock's pair-attention bias out of a sampling scan.
+
+    The pair features ``z`` are constant across diffusion steps, so the
+    per-layer bias projections (the only step-invariant part of the attention
+    logits) are computed once per complex here, head-major and pre-scaled for
+    the fused pallas kernel.
+
+    Args:
+      encoder_params: the GAEncoder param subtree
+        (``params['params'][...]['encoder']``).
+      z: (N, L, L, C) pair features; mask: (N, L).
+    Returns: (num_layers, N, H, L, L) stacked biases.
+    """
+    biases = []
+    for i in range(num_layers):
+        w = encoder_params[f'block_{i}']['proj_pair_bias']['kernel']
+        biases.append(precompute_pair_bias(z, w.astype(z.dtype), mask,
+                                           out_dtype=dtype or z.dtype))
+    return jnp.stack(biases)
+
+
 class GAEncoder(nn.Module):
     """Stack of GABlocks (ref ga.py:181-193).
 
-    ``pair_biases``: optional precomputed per-block pair-attention biases
-    (N, L, L, num_layers, H) — hoisted out of the sampling scan.
+    ``pair_biases``: optional precomputed per-block pair-attention biases,
+    stacked on a leading layer axis — hoisted out of the sampling scan (see
+    :func:`precompute_encoder_pair_biases` for the pallas layout).
     """
 
     node_feat_dim: int
@@ -174,16 +244,14 @@ class GAEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None,
-                 zT=None, use_pallas=None):
+                 use_pallas=None, reps: int = 1):
         use_pallas = self.use_pallas if use_pallas is None else use_pallas
         opt = dict(self.ga_block_opt or {})
-        if use_pallas and zT is None:
-            zT = jnp.swapaxes(pair_feat, -1, -2)           # (N, L, C, L)
         for i in range(self.num_layers):
             bias_i = None if pair_biases is None else pair_biases[i]
             res_feat = GABlock(self.node_feat_dim, self.pair_feat_dim,
                                dtype=self.dtype, name=f'block_{i}',
                                use_pallas=self.use_pallas, **opt)(
-                R, t, res_feat, pair_feat, mask, pair_bias=bias_i, zT=zT,
-                use_pallas=use_pallas)
+                R, t, res_feat, pair_feat, mask, pair_bias=bias_i,
+                use_pallas=use_pallas, reps=reps)
         return res_feat

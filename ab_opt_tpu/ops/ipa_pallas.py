@@ -4,39 +4,49 @@ The IPA block (ref AbDock/src/modules/encoders/ga.py:40-178) is HBM-bound in
 its XLA einsum form: per layer it materializes ~6 (N, L, L, H) logits/alpha
 tensors and reads the (N, L, L, Cz) pair features twice. This kernel fuses
 
-    (node + pair + spatial) logits -> masked softmax ->
-    {pair, node, point} aggregation
+    (node + pair + spatial) logits -> masked softmax -> value aggregation
 
-into one VMEM-resident pass per (batch, query-tile) grid cell: the pair
-tensor is streamed exactly once per layer and no (L, L) logits/alpha
-intermediate touches HBM.
+into one VMEM-resident pass per (batch, query-tile) grid cell. Design rules
+learned from profiling on v5e (see PERF.md):
 
-Two tricks keep the kernel inside Mosaic's supported-op envelope and on the
-MXU:
+* **Flat head-minor layouts everywhere.** All q/k/v tensors stay (N, L, H*D)
+  with D padded to 64 lanes, so the XLA side never materializes a
+  (N, L, H, small) array (tiny minor dims force padded relayout copies that
+  cost more than the attention itself) and the kernel slices heads at
+  lane-aligned offsets.
+* **Augmented points** (``_augment_matrix``): the spatial logit
+  sum_sq_dist * coef and the 1/sqrt(3) scaling fold into a single q.k-style
+  contraction by augmenting q/k with [|p|^2, 1] channels. The augmented
+  tensors are built by ONE sparse-matrix GEMM per side (a scatter-built
+  (688, 768) scale/permute matrix), not by per-head concatenation.
+* **Hoisted pair bias**: the per-layer pair-bias projection z @ W_h is
+  computed in XLA outside the kernel — and, during sampling, outside the
+  whole reverse scan (the pair tensor is constant across diffusion steps) —
+  then streamed head-major (N, H, L, L) with the column mask folded in. The
+  kernel never touches the (N, L, L, Cz) pair tensor.
+* **Alphas exported**: softmax weights leave the kernel head-major
+  (N, H, L, L) so the value-from-pair aggregation sum_j alpha_ij z_ij (an
+  inherently M=num_heads batched contraction) runs as one XLA einsum against
+  z in natural layout; at trajectory fan-out the replicas share z, turning
+  it into an MXU-efficient M=reps*H matmul (see ``p2n_aggregate``).
+* **Custom VJP**: a backward kernel on grid (N, H) computes dqa/dka/dvvp/
+  dbias from the saved alphas, so training runs fused too.
 
-* **Augmented points**: the spatial logit sum_sq_dist * coef and the 1/sqrt(3)
-  logit scaling are folded into a single q.k-style contraction by augmenting
-  the query/key point vectors with [|p|^2, 1] channels (built in XLA), so
-  each head needs exactly ONE logits matmul and no rank-changing broadcasts.
-* **In-VMEM pair bias**: the per-layer pair-bias projection is computed from
-  the resident zT tile with a row-batched dot (batch dim 0, the only
-  batching Mosaic implements), so the (N, L, L, H) bias never exists in HBM.
-
-Shapes (Da = augmented per-head dim; H heads):
-  qa:   (N, L, H*Da)   augmented queries  (pre-scaled, see _augment)
-  ka:   (N, L, H*Da)   augmented keys
-  v:    (N, L, H*Dv)   values
-  vp:   (N, L, H*PV3)  global-frame value points
-  zT:   (N, L, Cz, L)  pair features, transposed (i, c, j)
-  wT:   (H, Cz)        pair-bias weights, pre-scaled by 1/sqrt(3)
-  colb: (N, 8, L)      additive column mask (0 valid / -1e5 padding)
+Shapes (Da = augmented per-head q/k dim = 64; Dv = padded value dim = 64):
+  qa:   (N, L, H*Da)  augmented queries (pre-scaled)
+  ka:   (N, L, H*Da)  augmented keys
+  vvp:  (N, L, H*Dv)  concat [node values | global-frame value points] + pad
+  bias: (N, H, L, L)  pair bias, pre-scaled by 1/sqrt(3), + column mask
 Returns:
-  feat_p2n (N, L, H, Cz), feat_node (N, L, H*Dv), aggr_points (N, L, H*PV3)
+  out    (N, L, H*Dv)  alpha-weighted values
+  alphas (N, H, L, L)  softmax weights (compute dtype)
 """
 from __future__ import annotations
 
 import functools
 import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -45,162 +55,329 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INV_SQRT3 = math.sqrt(1.0 / 3.0)
 _NEG_BIG = 1e5
-_VMEM_BUDGET = 10 * 1024 * 1024
+_DA = 64    # per-head augmented q/k width (lane-aligned)
+_DV = 64    # per-head value width (node + point values + pad)
 
 
-def _pick_tile(L: int, Cz: int, H: int, itemsize: int) -> int:
-    """Largest row tile dividing L whose streamed blocks fit VMEM."""
-    for t in (128, 64, 32, 16, 8):
-        if L % t != 0:
-            continue
-        z_blk = 2 * t * Cz * max(L, 128) * itemsize
-        scratch = t * H * max(L, 128) * 4 * 2   # alphas + bias_all
-        if z_blk + scratch <= _VMEM_BUDGET:
+def _pick_tile(L: int) -> int:
+    """Query-row tile: whole L when small, else the largest aligned divisor."""
+    if L <= 256:
+        return L
+    for t in (256, 128, 64, 32, 16, 8):
+        if L % t == 0:
             return t
-    return 8 if L % 8 == 0 else L
+    return L
 
 
-def _kernel(qa_ref, ka_ref, v_ref, vp_ref, zt_ref, wT_ref, colbias_ref,
-            p2n_ref, node_ref, pts_ref, alphas_ref,
-            *, H, Da, Dv, PV3, Cz, TI):
+# --------------------------------------------------------------------------- #
+# Forward kernel: logits + softmax + value aggregation, per (n, query-tile).
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, alphas_ref, *, H):
     f32 = jnp.float32
-    col_bias = colbias_ref[0, :].astype(f32)               # (L,)
-    zt = zt_ref[:].astype(f32)                             # (TI, Cz, L)
-
-    # Pair bias for all heads: row-batched MXU dot over the resident tile.
-    # bias_all[i, h, j] = sum_c wT[h, c] * zt[i, c, j]
-    w_b = jnp.broadcast_to(wT_ref[:].astype(f32)[None], (TI, H, Cz))
-    bias_all = jax.lax.dot_general(
-        w_b, zt, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32)                        # (TI, H, L)
-
     for h in range(H):
-        qa_h = qa_ref[:, h * Da:(h + 1) * Da].astype(f32)  # (TI, Da)
-        ka_h = ka_ref[:, h * Da:(h + 1) * Da].astype(f32)  # (L, Da)
-        # One matmul = (node + spatial) logits, pre-scaled by 1/sqrt(3).
+        sl = slice(h * _DA, (h + 1) * _DA)
         logits = jax.lax.dot_general(
-            qa_h, ka_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                    # (TI, L)
-        logits = logits + bias_all[:, h, :] + col_bias[None, :]
-        alpha = jax.nn.softmax(logits, axis=-1)            # (TI, L)
-        alphas_ref[:, h, :] = alpha
-
-        v_h = v_ref[:, h * Dv:(h + 1) * Dv].astype(f32)
-        node_ref[:, h * Dv:(h + 1) * Dv] = jnp.dot(
-            alpha, v_h, preferred_element_type=f32).astype(node_ref.dtype)
-        vp_h = vp_ref[:, h * PV3:(h + 1) * PV3].astype(f32)
-        pts_ref[:, h * PV3:(h + 1) * PV3] = jnp.dot(
-            alpha, vp_h, preferred_element_type=f32).astype(pts_ref.dtype)
-
-    # Pair aggregation for all heads: row-batched dot over j.
-    # p2n[i, h, c] = sum_j alphas[i, h, j] * zt[i, c, j]
-    alphas = alphas_ref[:]                                 # (TI, H, L)
-    p2n = jax.lax.dot_general(
-        alphas, zt, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=f32)                        # (TI, H, Cz)
-    p2n_ref[:] = p2n.astype(p2n_ref.dtype)
+            qa_ref[:, sl], ka_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                     # (TI, L)
+        logits = logits + bias_ref[h].astype(f32)
+        alpha = jax.nn.softmax(logits, axis=-1)
+        alphas_ref[h] = alpha.astype(alphas_ref.dtype)
+        sv = slice(h * _DV, (h + 1) * _DV)
+        out_ref[:, sv] = jnp.dot(
+            alpha.astype(vvp_ref.dtype), vvp_ref[:, sv],
+            preferred_element_type=f32).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def _fused_call(qa, ka, v, vp, zT, wT, col_bias, interpret: bool = False):
+def _attention_fwd_call(qa, ka, vvp, bias, interpret: bool, reps: int = 1):
     N, L = qa.shape[:2]
-    H, Cz = wT.shape
-    Da = qa.shape[-1] // H
-    Dv = v.shape[-1] // H
-    PV3 = vp.shape[-1] // H
-    TI = _pick_tile(L, Cz, H, zT.dtype.itemsize)
-    out_dtype = qa.dtype
-
+    H = bias.shape[1]
+    TI = _pick_tile(L)
     grid = (N, L // TI)
+
     row = lambda d: pl.BlockSpec((None, TI, d), lambda n, i: (n, i, 0))
     full = lambda d: pl.BlockSpec((None, L, d), lambda n, i: (n, 0, 0))
-    z_spec = pl.BlockSpec((None, TI, Cz, L), lambda n, i: (n, i, 0, 0))
-    w_spec = pl.BlockSpec((H, Cz), lambda n, i: (0, 0))
-    cb_spec = pl.BlockSpec((None, 8, L), lambda n, i: (n, 0, 0))
+    # Trajectory replicas share their complex's bias block (index n // reps)
+    # — the (Nc, H, L, L) tensor is never materialized at full N.
+    b_spec = pl.BlockSpec((None, H, TI, L), lambda n, i: (n // reps, 0, i, 0))
+    a_spec = pl.BlockSpec((None, H, TI, L), lambda n, i: (n, 0, i, 0))
 
-    kernel = functools.partial(_kernel, H=H, Da=Da, Dv=Dv, PV3=PV3, Cz=Cz,
-                               TI=TI)
-    out_shapes = (
-        jax.ShapeDtypeStruct((N, L, H, Cz), out_dtype),
-        jax.ShapeDtypeStruct((N, L, H * Dv), out_dtype),
-        jax.ShapeDtypeStruct((N, L, H * PV3), out_dtype),
-    )
-    out_specs = (
-        pl.BlockSpec((None, TI, H, Cz), lambda n, i: (n, i, 0, 0)),
-        pl.BlockSpec((None, TI, H * Dv), lambda n, i: (n, i, 0)),
-        pl.BlockSpec((None, TI, H * PV3), lambda n, i: (n, i, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
+    out, alphas = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H),
         grid=grid,
-        in_specs=[row(H * Da), full(H * Da), full(H * Dv), full(H * PV3),
-                  z_spec, w_spec, cb_spec],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((TI, H, L), jnp.float32)],
+        in_specs=[row(H * _DA), full(H * _DA), full(H * _DV), b_spec],
+        out_specs=(row(H * _DV), a_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, L, H * _DV), qa.dtype),
+            jax.ShapeDtypeStruct((N, H, L, L), qa.dtype),
+        ),
         interpret=interpret,
-    )(qa, ka, v, vp, zT, wT, col_bias)
+    )(qa, ka, vvp, bias)
+    return out, alphas
+
+
+# --------------------------------------------------------------------------- #
+# Backward kernel: one (n, h) cell recovers all input cotangents from the
+# saved alphas — standard attention VJP, every dot (L, L) x (L, D).
+# --------------------------------------------------------------------------- #
+
+
+def _bwd_kernel(qa_ref, ka_ref, vvp_ref, alphas_ref, dout_ref, dalphas_ref,
+                dqa_ref, dka_ref, dvvp_ref, dbias_ref, *, H):
+    f32 = jnp.float32
+    for h in range(H):
+        sl = slice(h * _DA, (h + 1) * _DA)
+        sv = slice(h * _DV, (h + 1) * _DV)
+        alpha = alphas_ref[h].astype(f32)                   # (L, L)
+        dout = dout_ref[:, sv].astype(f32)                  # (L, Dv)
+        vvp = vvp_ref[:, sv].astype(f32)
+
+        # d(alpha) from the value aggregation + any direct alpha cotangent.
+        dal = jax.lax.dot_general(dout, vvp, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)   # (L, L)
+        dal = dal + dalphas_ref[h].astype(f32)
+
+        # Softmax VJP: dlogits = alpha * (dal - rowsum(dal * alpha)).
+        tmp = dal * alpha
+        dlog = tmp - alpha * jnp.sum(tmp, axis=-1, keepdims=True)
+        dbias_ref[h] = dlog.astype(dbias_ref.dtype)
+
+        # dvvp = alpha^T @ dout; dqa = dlog @ ka; dka = dlog^T @ qa.
+        dvvp_ref[:, sv] = jax.lax.dot_general(
+            alpha, dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dvvp_ref.dtype)
+        dqa_ref[:, sl] = jnp.dot(
+            dlog, ka_ref[:, sl].astype(f32),
+            preferred_element_type=f32).astype(dqa_ref.dtype)
+        dka_ref[:, sl] = jax.lax.dot_general(
+            dlog, qa_ref[:, sl].astype(f32), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dka_ref.dtype)
+
+
+def _attention_bwd_call(qa, ka, vvp, alphas, dout, dalphas, interpret: bool):
+    N, L = qa.shape[:2]
+    H = alphas.shape[1]
+    grid = (N,)
+
+    flat = lambda d: pl.BlockSpec((None, L, d), lambda n: (n, 0, 0))
+    head = pl.BlockSpec((None, H, L, L), lambda n: (n, 0, 0, 0))
+
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H),
+        grid=grid,
+        in_specs=[flat(H * _DA), flat(H * _DA), flat(H * _DV), head,
+                  flat(H * _DV), head],
+        out_specs=(flat(H * _DA), flat(H * _DA), flat(H * _DV), head),
+        out_shape=(
+            jax.ShapeDtypeStruct(qa.shape, qa.dtype),
+            jax.ShapeDtypeStruct(ka.shape, ka.dtype),
+            jax.ShapeDtypeStruct(vvp.shape, vvp.dtype),
+            jax.ShapeDtypeStruct((N, H, L, L), qa.dtype),
+        ),
+        interpret=interpret,
+    )(qa, ka, vvp, alphas, dout, dalphas)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_attention(interpret, reps, qa, ka, vvp, bias):
+    return _attention_fwd_call(qa, ka, vvp, bias, interpret, reps)
+
+
+def _fused_attention_fwd(interpret, reps, qa, ka, vvp, bias):
+    out, alphas = _attention_fwd_call(qa, ka, vvp, bias, interpret, reps)
+    return (out, alphas), (qa, ka, vvp, alphas)
+
+
+def _fused_attention_bwd(interpret, reps, res, cts):
+    if reps != 1:
+        raise NotImplementedError(
+            'replica-shared pair bias is a sampling-path optimization; '
+            'training (grads) must use reps=1')
+    qa, ka, vvp, alphas = res
+    dout, dalphas = cts
+    dqa, dka, dvvp, dbias = _attention_bwd_call(
+        qa, ka, vvp, alphas, dout, dalphas, interpret)
+    return dqa, dka, dvvp, dbias
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# XLA-side assembly: sparse scale/permute matrices instead of concatenation.
+# --------------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def _augment_layout(H: int, Dqk: int, P3: int):
+    """Static (rows, cols) index arrays for the augment scatter matrices.
+
+    Input channel order: [q (H*Dqk) | qp (H*P3) | sq (H) | one (1)].
+    Output per head h (width _DA): [q_h | qp_h | sq_h | const | zero pad].
+    """
+    rows, cols, kinds = [], [], []   # kind 0: q, 1: qp, 2: sq, 3: one
+    for h in range(H):
+        base = h * _DA
+        for d in range(Dqk):
+            rows.append(h * Dqk + d); cols.append(base + d); kinds.append(0)
+        for p in range(P3):
+            rows.append(H * Dqk + h * P3 + p)
+            cols.append(base + Dqk + p); kinds.append(1)
+        rows.append(H * Dqk + H * P3 + h)
+        cols.append(base + Dqk + P3); kinds.append(2)
+        rows.append(H * Dqk + H * P3 + H)
+        cols.append(base + Dqk + P3 + 1); kinds.append(3)
+    return (np.asarray(rows), np.asarray(cols), np.asarray(kinds),
+            H * Dqk + H * P3 + H + 1)
+
+
+def _augment_matrix(coef, H, Dqk, P3, scales, dtype):
+    """Build the (in_dim, H*_DA) scale/permute matrix.
+
+    ``scales``: per-kind multipliers, each either a scalar or (H,) — kind
+    order [q, qp, sq, one]. coef-dependent entries make the matrix traced;
+    the scatter is tiny (one per layer per call).
+    """
+    rows, cols, kinds, in_dim = _augment_layout(H, Dqk, P3)
+    per_head = [jnp.broadcast_to(jnp.asarray(s, jnp.float32), (H,))
+                for s in scales]
+    head_of_col = jnp.asarray(cols // _DA, jnp.int32)
+    vals = jnp.stack(per_head, 0)[jnp.asarray(kinds), head_of_col]
+    m = jnp.zeros((in_dim, H * _DA), jnp.float32)
+    return m.at[rows, cols].set(vals).astype(dtype)
 
 
 def _augment(q, k, qp, kp, coef, H, Dqk):
-    """Fold spatial logits + scalings into augmented q/k channels.
+    """Augmented q/k, each built by one GEMM against a sparse scale matrix.
 
-    q.k/sqrt(Dqk)*inv3 + coef*inv3*(|qp|^2 + |kp|^2 - 2 qp.kp)
-      = qa . ka  with
-    qa = [q*inv3/sqrt(Dqk), -2*c*qp, c*|qp|^2, c] (c = coef*inv3, per head)
-    ka = [k,                 kp,     1,        |kp|^2]
-    padded to a 64-multiple per head.
+    q.k/sqrt(Dqk)*inv3 + coef*inv3*(|qp|^2 + |kp|^2 - 2 qp.kp) = qa . ka with
+    qa_h = [q_h*inv3/sqrt(Dqk), -2*c_h*qp_h, c_h*|qp_h|^2, c_h, 0-pad]
+    ka_h = [k_h,                 kp_h,       1,            |kp_h|^2, 0-pad]
     """
     N, L = q.shape[:2]
-    qh = q.reshape(N, L, H, Dqk)
-    kh = k.reshape(N, L, H, Dqk)
-    qph = qp.reshape(N, L, H, -1)
-    kph = kp.reshape(N, L, H, -1)
-    c = (coef * _INV_SQRT3).reshape(1, 1, H, 1).astype(q.dtype)
-    one = jnp.ones_like(c[..., :1])
-    qa = jnp.concatenate([
-        qh * (_INV_SQRT3 / math.sqrt(Dqk)),
-        -2.0 * c * qph,
-        c * jnp.sum(qph * qph, axis=-1, keepdims=True),
-        jnp.broadcast_to(c, (N, L, H, 1)),
-    ], axis=-1)
-    ka = jnp.concatenate([
-        kh, kph,
-        jnp.broadcast_to(one, (N, L, H, 1)),
-        jnp.sum(kph * kph, axis=-1, keepdims=True),
-    ], axis=-1)
-    Da = qa.shape[-1]
-    pad = (-Da) % 64
-    if pad:
-        zeros_q = jnp.zeros((N, L, H, pad), qa.dtype)
-        qa = jnp.concatenate([qa, zeros_q], axis=-1)
-        ka = jnp.concatenate([ka, zeros_q], axis=-1)
-    return qa.reshape(N, L, -1), ka.reshape(N, L, -1)
+    P3 = qp.shape[-1] // H
+    dt = q.dtype
+    c = (coef * _INV_SQRT3).astype(jnp.float32)
+
+    # Per-head |p|^2 via a 0/1 pooling GEMM (stays in flat lane layout).
+    pool = jnp.repeat(jnp.eye(H, dtype=dt), P3, axis=0)     # (H*P3, H)
+    sq_q = jnp.dot(qp * qp, pool)                           # (N, L, H)
+    sq_k = jnp.dot(kp * kp, pool)
+    one = jnp.ones((N, L, 1), dt)
+
+    in_q = jnp.concatenate([q, qp, sq_q, one], axis=-1)
+    in_k = jnp.concatenate([k, kp, sq_k, one], axis=-1)
+
+    s_node = _INV_SQRT3 / math.sqrt(Dqk)
+    Sq = _augment_matrix(coef, H, Dqk, P3,
+                         [s_node, -2.0 * c, c, c], dt)
+    # ka layout swaps the sq/one slots relative to qa ([.., 1, |kp|^2]):
+    # drop both via zero scales, then add the swapped placements explicitly.
+    _, _, _, in_dim = _augment_layout(H, Dqk, P3)
+    Sk = _augment_matrix(coef, H, Dqk, P3, [1.0, 1.0, 0.0, 0.0], dt)
+    swap = jnp.zeros((in_dim, H * _DA), jnp.float32)
+    sq_rows = np.asarray([H * Dqk + H * P3 + h for h in range(H)])
+    sq_cols = np.asarray([h * _DA + Dqk + P3 + 1 for h in range(H)])
+    one_row = np.asarray([in_dim - 1] * H)
+    one_cols = np.asarray([h * _DA + Dqk + P3 for h in range(H)])
+    swap = swap.at[sq_rows, sq_cols].set(1.0)
+    swap = swap.at[one_row, one_cols].set(1.0)
+    Sk = Sk + swap.astype(dt)
+
+    qa = jnp.dot(in_q, Sq)
+    ka = jnp.dot(in_k, Sk)
+    return qa, ka
+
+
+@functools.lru_cache(maxsize=None)
+def _value_matrix_np(H: int, Dv: int, PV3: int):
+    """0/1 permute matrix packing [v | vp] into per-head _DV-wide slots."""
+    in_dim = H * (Dv + PV3)
+    m = np.zeros((in_dim, H * _DV), np.float32)
+    for h in range(H):
+        for d in range(Dv):
+            m[h * Dv + d, h * _DV + d] = 1.0
+        for p in range(PV3):
+            m[H * Dv + h * PV3 + p, h * _DV + Dv + p] = 1.0
+    return m
+
+
+def precompute_pair_bias(z, pair_w, mask, out_dtype=None):
+    """Head-major pair-attention bias for the fused kernel.
+
+    bias[n, h, i, j] = (sum_c z[n,i,j,c] W[c,h]) / sqrt(3)  - 1e5 * ~mask[n,j]
+
+    Constant across diffusion steps — samplers hoist this out of the reverse
+    scan (one einsum per layer per *complex*, not per step).
+    """
+    bias = jnp.einsum('nijc,ch->nhij', z, pair_w) * _INV_SQRT3
+    col = (mask.astype(jnp.float32) - 1.0) * _NEG_BIG        # (N, L)
+    bias = bias + col[:, None, None, :]
+    return bias.astype(out_dtype or z.dtype)
+
+
+def p2n_aggregate(alphas, z, reps: int = 1):
+    """Value-from-pair aggregation sum_j alpha[n,h,i,j] z[n,i,j,c].
+
+    With ``reps`` > 1, ``z`` is per-complex (N // reps leading dim) and the
+    trajectory replicas are folded into the matmul M dimension — the MXU
+    sees M = reps * H instead of a latency-bound M = H.
+    """
+    N, H, L, _ = alphas.shape
+    if reps == 1:
+        return jnp.einsum('nhij,nijc->nihc', alphas, z)
+    a = alphas.reshape(N // reps, reps * H, L, L)
+    p2n = jnp.einsum('nkij,nijc->nikc', a, z)                # (Nc, L, rH, Cz)
+    Cz = z.shape[-1]
+    return (p2n.reshape(N // reps, L, reps, H, Cz)
+            .transpose(0, 2, 1, 3, 4).reshape(N, L, H, Cz))
 
 
 def fused_ipa_from_flat(q, k, qp, kp, v, vp, z, pair_w, coef, mask,
-                        zT=None, interpret: bool = False):
-    """Flat head-minor inputs -> fused kernel.
+                        pair_bias=None, reps: int = 1,
+                        interpret: bool = False):
+    """Flat head-minor inputs -> fused kernel + XLA pair aggregation.
 
-    ``zT`` (N, L, Cz, L), if given, skips the per-call transpose (samplers
-    hoist it out of the reverse scan).
+    Args mirror the GABlock projections (all (N, L, H*D) head-minor):
+      q/k: scalar queries/keys; qp/kp: global-frame query/key points;
+      v: node values; vp: global-frame value points; z: pair features
+      (N, L, L, Cz) — or (N//reps, L, L, Cz) when ``reps`` > 1 (trajectory
+      fan-out shares the complex's pair tensor); pair_w: (Cz, H) pair-bias
+      projection (unused if ``pair_bias`` given); coef: (H,) spatial logit
+      coefficients; mask: (N, L) valid-residue mask.
+      pair_bias: optional precomputed head-major bias from
+        :func:`precompute_pair_bias` (per-complex when ``reps`` > 1).
+
+    Returns (feat_p2n (N,L,H*Cz), feat_node (N,L,H*Dv), pts (N,L,H*PV3)).
     """
     N, L = q.shape[:2]
     H = coef.shape[-1]
     Dqk = q.shape[-1] // H
-    qa, ka = _augment(q, k, qp, kp, coef, H, Dqk)
-    wT = (pair_w.T * _INV_SQRT3).astype(jnp.float32)       # (H, Cz)
-    if zT is None:
-        zT = jnp.swapaxes(z, -1, -2)                       # (N, L, Cz, L)
-    col_bias = (mask.astype(jnp.float32) - 1.0) * _NEG_BIG
-    col_bias = jnp.broadcast_to(col_bias[:, None, :], (N, 8, L))
+    Dv = v.shape[-1] // H
+    PV3 = vp.shape[-1] // H
+    ct = q.dtype
 
-    p2n, node, pts = _fused_call(qa, ka, v, vp, zT, wT, col_bias,
-                                 interpret=interpret)
+    qa, ka = _augment(q, k, qp, kp, coef, H, Dqk)
+    if pair_bias is None:
+        mask_c = mask[::reps] if reps > 1 else mask
+        pair_bias = precompute_pair_bias(z, pair_w, mask_c, out_dtype=ct)
+
+    vvp = jnp.dot(jnp.concatenate([v, vp], axis=-1),
+                  jnp.asarray(_value_matrix_np(H, Dv, PV3), ct))
+
+    out, alphas = _fused_attention(interpret, reps, qa, ka, vvp, pair_bias)
+
+    p2n = p2n_aggregate(alphas.astype(ct), z, reps)
+
+    out4 = out.reshape(N, L, H, _DV)
+    node = out4[..., :Dv].reshape(N, L, H * Dv)
+    pts = out4[..., Dv:Dv + PV3].reshape(N, L, H * PV3)
+
     # Zero outputs of invalid query rows (reference zeroes alpha rows).
-    row = mask.astype(p2n.dtype)
-    p2n = (p2n * row[:, :, None, None]).reshape(N, L, -1)
-    return p2n, node * row[..., None], pts * row[..., None]
+    rowm = mask.astype(ct)
+    p2n = (p2n * rowm[:, :, None, None]).reshape(N, L, -1)
+    return p2n, node * rowm[..., None], pts * rowm[..., None]
 
 
 def ipa_attention_reference(q, k, qp, kp, v, vp, z, pair_w, coef, mask):

@@ -38,7 +38,8 @@ def timeit(fn, *args, iters=20, warmup=3):
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    print(f'profile at N={N}, L={L}, backend={jax.default_backend()}')
+    print(f'profile at N={N}, L={L}, backend={jax.default_backend()}',
+          flush=True)
 
     cfg = DiffAbConfig(dtype='bfloat16')
     model = DiffAb(cfg)
@@ -49,7 +50,7 @@ def main():
     sample = jax.jit(lambda p, b, k: model.sample(p, b, k))
     ms = timeit(sample, params, batch, jax.random.key(1), iters=3, warmup=1)
     print(f'full sample()          : {ms:8.1f} ms  ({ms/cfg.num_steps:6.3f} ms/step, '
-          f'{N*1000/ms:.1f} samples/s)')
+          f'{N*1000/ms:.1f} samples/s)', flush=True)
 
     # ---- one denoiser forward -------------------------------------------
     res_feat, pair_feat, R0, p0 = model.encode(params, batch, True, True)
@@ -59,29 +60,42 @@ def main():
     s = batch['aa']
     beta = model.trans_pos.sched.betas[jnp.full((N,), 50)]
     mg, mr = batch['generate_flag'], batch['mask']
-    zT = jnp.swapaxes(pair_feat, -1, -2)
 
     from ab_opt_tpu.models.diffab import DiffAbNet
-    def denoise(use_pallas, zt):
+    from ab_opt_tpu.nn.ipa import precompute_encoder_pair_biases
+    pair_biases = precompute_encoder_pair_biases(
+        params['params']['eps_net']['encoder'], pair_feat, mr,
+        cfg.num_layers, dtype=cfg.compute_dtype)
+
+    def denoise(use_pallas, biases):
         f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
-            pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, None, zt,
+            pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases,
             use_pallas, method=DiffAbNet.denoise_step))
         return timeit(f, params, v, p, s)
 
-    print(f'denoise fwd (pallas)   : {denoise(True, zT):8.3f} ms')
-    print(f'denoise fwd (einsum)   : {denoise(False, None):8.3f} ms')
+    print(f'denoise fwd (pallas)   : {denoise(True, pair_biases):8.3f} ms',
+          flush=True)
+    print(f'denoise fwd (pallas, inline bias): {denoise(True, None):8.3f} ms',
+          flush=True)
+    print(f'denoise fwd (einsum)   : {denoise(False, None):8.3f} ms',
+          flush=True)
 
     # ---- encoder alone -----------------------------------------------------
     enc = GAEncoder(cfg.res_feat_dim, cfg.pair_feat_dim, cfg.num_layers,
                     dtype=cfg.compute_dtype, use_pallas=True)
     ep = enc.init(jax.random.key(0), R0, p, res_feat, pair_feat, mr)
-    for name, up, zt in (('pallas', True, zT), ('einsum', False, None)):
+    eb = precompute_encoder_pair_biases(ep['params'], pair_feat, mr,
+                                        cfg.num_layers, cfg.compute_dtype)
+    for name, up, biases in (('pallas', True, eb), ('einsum', False, None)):
         f = jax.jit(lambda epp, rf: enc.apply(epp, R0, p, rf, pair_feat, mr,
-                                              zT=zt, use_pallas=up))
-        print(f'encoder 6-blk ({name:6s}): {timeit(f, ep, res_feat):8.3f} ms')
+                                              pair_biases=biases,
+                                              use_pallas=up))
+        print(f'encoder 6-blk ({name:6s}): {timeit(f, ep, res_feat):8.3f} ms',
+              flush=True)
 
     # ---- one pallas attention call alone ----------------------------------
-    from ab_opt_tpu.ops.ipa_pallas import fused_ipa_from_flat
+    from ab_opt_tpu.ops.ipa_pallas import (fused_ipa_from_flat,
+                                           precompute_pair_bias)
     H, QK, V, P, PV = 12, 32, 32, 8, 8
     kk = jax.random.key(2)
     dt = cfg.compute_dtype
@@ -95,14 +109,16 @@ def main():
     pw = jax.random.normal(kk, (cfg.pair_feat_dim, H), dt)
     coef = jnp.ones((H,), jnp.float32)
     mask_f = mr.astype(jnp.float32)
-    f = jax.jit(lambda *a: fused_ipa_from_flat(*a, zT=zT))
+    bias_hm = precompute_pair_bias(z, pw, mask_f, out_dtype=dt)
+    f = jax.jit(lambda *a: fused_ipa_from_flat(*a, pair_bias=bias_hm))
     ms = timeit(f, q, k2, qp, kp, vv, vp, z, pw, coef, mask_f)
-    print(f'1x fused pallas attn   : {ms:8.3f} ms  (x6 = {6*ms:.3f})')
+    print(f'1x fused attn+p2n      : {ms:8.3f} ms  (x6 = {6*ms:.3f})',
+          flush=True)
 
-    # HBM traffic estimate for one kernel call
-    bytes_z = N * L * cfg.pair_feat_dim * L * zT.dtype.itemsize
-    print(f'   zT stream/call      : {bytes_z/1e6:.1f} MB '
-          f'(~{bytes_z/819e9*1e3:.3f} ms at 819 GB/s)')
+    # HBM traffic estimate per call: bias in + alphas out + p2n einsum.
+    by = (2 * N * H * L * L + N * L * cfg.pair_feat_dim * L) * z.dtype.itemsize
+    print(f'   bias+alpha+z /call  : {by/1e6:.1f} MB '
+          f'(~{by/819e9*1e3:.3f} ms at 819 GB/s)', flush=True)
 
 
 if __name__ == '__main__':

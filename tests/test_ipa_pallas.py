@@ -87,3 +87,45 @@ class TestTrainingPath:
         g = jax.grad(total)(params)
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestReplicaSharing:
+    def test_reps_matches_repeated_z(self, rng):
+        """Fan-out with a shared per-complex pair tensor must equal the
+        explicit per-trajectory replication, on both IPA paths."""
+        reps, Nc, L = 3, 2, 16
+        inp = _rand_inputs(rng, N=Nc * reps, L=L)
+        # Make z per-complex and build the replicated equivalent.
+        z_c = inp['z'][:Nc]
+        z_rep = jnp.repeat(z_c, reps, axis=0)
+        mask = jnp.ones((Nc * reps, L)).at[1, -3:].set(0).at[4, -3:].set(0)
+        # Same masks within each complex's replica group.
+        mask = jnp.repeat(mask[::reps][:Nc], reps, axis=0)
+        base = dict(inp, mask=mask)
+
+        ref = fused_ipa_from_flat(**{**base, 'z': z_rep}, interpret=True)
+        got = fused_ipa_from_flat(**{**base, 'z': z_c}, reps=reps,
+                                  interpret=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_gablock_reps_einsum_path(self, rng):
+        """Einsum path with shared z == einsum path with repeated z."""
+        from ab_opt_tpu.nn.ipa import GABlock
+        reps, Nc, L, F, C = 2, 2, 12, 16, 8
+        N = Nc * reps
+        R = jnp.broadcast_to(jnp.eye(3), (N, L, 3, 3))
+        t = jnp.asarray(rng.normal(size=(N, L, 3)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(N, L, F)), jnp.float32)
+        z_c = jnp.asarray(rng.normal(size=(Nc, L, L, C)), jnp.float32)
+        mask = jnp.ones((N, L), bool)
+
+        blk = GABlock(F, C, value_dim=8, query_key_dim=8, num_query_points=4,
+                      num_value_points=4, num_heads=2)
+        params = blk.init(jax.random.key(0), R, t, x,
+                          jnp.repeat(z_c, reps, 0), mask)
+        ref = blk.apply(params, R, t, x, jnp.repeat(z_c, reps, 0), mask)
+        got = blk.apply(params, R, t, x, z_c, mask, reps=reps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
