@@ -308,6 +308,21 @@ class DiffGNN:
 
         static = (coord_n, gen, mask, res_feat, ctx_adj, inter_adj,
                   ctx_edge_attr, hyd, chg)
+        v, p, s, outs = self._reverse_loop(
+            params, k_scan, (v, p, s), static, cfg.num_steps,
+            sample_structure, sample_sequence, keep_traj, stride)
+
+        result = {'v': v, 'p': self.unnormalize_position(p), 's': s}
+        if keep_traj:
+            result['traj'] = outs
+        return result
+
+    def _reverse_loop(self, params, key, state_init, static, t_start: int,
+                      sample_structure: bool, sample_sequence: bool,
+                      keep_traj: bool, stride: int = 1):
+        """Shared t_start -> 0 reverse loop as lax.scan (normalized coords)."""
+        gen = static[1]
+        N, LL = gen.shape
 
         def step(carry, ts):
             t, t_next = ts
@@ -342,9 +357,41 @@ class DiffGNN:
                        's': s_new}
             return (v_new, p_new, s_new, key), out
 
-        ts = jnp.arange(cfg.num_steps, 0, -stride)
+        ts = jnp.arange(t_start, 0, -stride)
         (v, p, s, _), outs = jax.lax.scan(
-            step, (v, p, s, k_scan), (ts, jnp.maximum(ts - stride, 0)))
+            step, state_init + (key,), (ts, jnp.maximum(ts - stride, 0)))
+        return v, p, s, outs
+
+    def optimize(self, params, batch, key, opt_step: int,
+                 sample_structure: bool = True, sample_sequence: bool = True,
+                 keep_traj: bool = False) -> Dict[str, jnp.ndarray]:
+        """Noise the native CDR state to step ``opt_step`` then denoise.
+
+        The reference declares this path for the graph model too
+        (AbDesign/diffab/models/diff_gnn.py:305-324) but its body is dead
+        code (references undefined ``self.encode``/``self.diffusion``); this
+        is the working equivalent, mirroring DiffAb.optimize: forward-noise
+        v/p on the generated span to ``opt_step``, then run the shared
+        reverse loop from there. The sequence is re-predicted by the SeqGNN
+        along the way (diff_gnn has no sequence diffusion).
+        """
+        (coord_n, aa, gen, mask, res_feat, ctx_adj, inter_adj, ctx_edge_attr,
+         R_0, v_0, p_0, hyd, chg) = self._prepare(
+            params, batch, sample_structure, sample_sequence)
+        N, LL = aa.shape
+        t_vec = jnp.full((N,), opt_step, jnp.int32)
+
+        k_rot, k_pos, k_scan = jax.random.split(key, 3)
+        v, p = v_0, p_0
+        if sample_structure:
+            v, _ = self.trans_rot.add_noise(k_rot, v, gen, t_vec)
+            p, _ = self.trans_pos.add_noise(k_pos, p, gen, t_vec)
+
+        static = (coord_n, gen, mask, res_feat, ctx_adj, inter_adj,
+                  ctx_edge_attr, hyd, chg)
+        v, p, s, outs = self._reverse_loop(
+            params, k_scan, (v, p, aa), static, opt_step,
+            sample_structure, sample_sequence, keep_traj)
 
         result = {'v': v, 'p': self.unnormalize_position(p), 's': s}
         if keep_traj:

@@ -103,6 +103,30 @@ class TestDiffGNN:
         np.testing.assert_array_equal(np.asarray(out['s'])[ctx],
                                       np.asarray(batch['aa'])[ctx])
 
+    def test_optimize(self, setup):
+        """Noise-to-t-then-denoise path (working equivalent of the
+        reference's dead-code diff_gnn.optimize, diff_gnn.py:305-324)."""
+        model, batch, params = setup
+        out = jax.jit(lambda p, b, k: model.optimize(p, b, k, opt_step=3))(
+            params, batch, jax.random.key(7))
+        N, L = batch['aa'].shape
+        assert out['p'].shape == (N, L, 3)
+        assert np.isfinite(np.asarray(out['p'])).all()
+        ctx = ~np.asarray(batch['generate_flag'])
+        # Context residues untouched (sequence and positions).
+        np.testing.assert_array_equal(np.asarray(out['s'])[ctx],
+                                      np.asarray(batch['aa'])[ctx])
+        p_ctx = np.asarray(batch['pos_heavyatom'])[:, :, 1][ctx]
+        np.testing.assert_allclose(np.asarray(out['p'])[ctx], p_ctx,
+                                   atol=1e-4)
+        # Small opt_step keeps the optimized CDR near the native one
+        # (it is a perturb-and-repair, not a resample from scratch).
+        gen = ~ctx
+        d = np.linalg.norm(np.asarray(out['p'])[gen]
+                           - np.asarray(batch['pos_heavyatom'])[:, :, 1][gen],
+                           axis=-1)
+        assert np.isfinite(d).all()
+
     def test_no_leakage_through_embeddings_and_edges(self, setup):
         """Embeddings + adjacency must not depend on native CDR geometry/seq
         (the denoiser's *input* legitimately sees the noised native state)."""
