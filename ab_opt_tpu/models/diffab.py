@@ -119,11 +119,12 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res, pair_biases=None,
+                     mask_generate, mask_res, pair_biases=None, aug_mats=None,
                      use_pallas=None, reps: int = 1):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
-                            use_pallas=use_pallas, reps=reps)
+                            aug_mats=aug_mats, use_pallas=use_pallas,
+                            reps=reps)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -277,12 +278,16 @@ class DiffAb:
         # the fused pallas path (one einsum per layer per complex instead of
         # per step). The einsum path computes the bias inline (XLA fusion
         # measured faster than reading a hoisted (N, L, L, H) tensor).
-        pair_biases = None
+        pair_biases = aug_mats = None
         if self._use_pallas:
-            from ..nn.ipa import precompute_encoder_pair_biases
+            from ..nn.ipa import (precompute_encoder_aug_mats,
+                                  precompute_encoder_pair_biases)
             enc_params = params['params']['eps_net']['encoder']
             pair_biases = precompute_encoder_pair_biases(
                 enc_params, pair_feat, mask_res[::reps], self.cfg.num_layers,
+                dtype=self.cfg.compute_dtype)
+            aug_mats = precompute_encoder_aug_mats(
+                enc_params, self.cfg.num_layers,
                 dtype=self.cfg.compute_dtype)
 
         def step(carry, ts):
@@ -296,7 +301,7 @@ class DiffAb:
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                mask_generate, mask_res, pair_biases, None, reps,
+                mask_generate, mask_res, pair_biases, aug_mats, None, reps,
                 method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)

@@ -39,7 +39,7 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res, pair_biases=None,
+                 mask_generate, mask_res, pair_biases=None, aug_mats=None,
                  use_pallas=None, reps: int = 1):
         """
         Args:
@@ -63,6 +63,7 @@ class EpsilonNet(nn.Module):
                              use_pallas=self.use_pallas,
                              name='encoder')(R, p_t, res_feat, pair_feat,
                                              mask_res, pair_biases=pair_biases,
+                                             aug_mats=aug_mats,
                                              use_pallas=use_pallas, reps=reps)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)

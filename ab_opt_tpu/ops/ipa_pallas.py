@@ -213,17 +213,23 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 def _augment_layout(H: int, Dqk: int, P3: int):
     """Static (rows, cols) index arrays for the augment scatter matrices.
 
-    Input channel order: [q (H*Dqk) | qp (H*P3) | sq (H) | one (1)].
+    Input channel order: [q (H*Dqk) | qp planar (H*P3) | sq (H) | one (1)],
+    where the qp section is PLANAR: [x (H*P) | y (H*P) | z (H*P)], each
+    component block head-major (h*P + p). Planar layouts keep every point
+    tensor wide in the lane dimension — the (points, 3) interleaved layout's
+    3-wide minor dim measured ~3x slower in rotations and copies.
     Output per head h (width _DA): [q_h | qp_h | sq_h | const | zero pad].
     """
+    P = P3 // 3
     rows, cols, kinds = [], [], []   # kind 0: q, 1: qp, 2: sq, 3: one
     for h in range(H):
         base = h * _DA
         for d in range(Dqk):
             rows.append(h * Dqk + d); cols.append(base + d); kinds.append(0)
-        for p in range(P3):
-            rows.append(H * Dqk + h * P3 + p)
-            cols.append(base + Dqk + p); kinds.append(1)
+        for c in range(3):
+            for p in range(P):
+                rows.append(H * Dqk + c * H * P + h * P + p)
+                cols.append(base + Dqk + c * P + p); kinds.append(1)
         rows.append(H * Dqk + H * P3 + h)
         cols.append(base + Dqk + P3); kinds.append(2)
         rows.append(H * Dqk + H * P3 + H)
@@ -248,8 +254,49 @@ def _augment_matrix(coef, H, Dqk, P3, scales, dtype):
     return m.at[rows, cols].set(vals).astype(dtype)
 
 
-def _augment(q, k, qp, kp, coef, H, Dqk):
+def make_augment_mat(coef, H, Dqk, P3, dtype):
+    """The stacked (2, in_dim, H*_DA) scale/permute matrices (Sq, Sk).
+
+    ``in_q @ S[0] -> qa`` and ``in_k @ S[1] -> ka`` (see :func:`_augment`).
+    S depends only on the per-head spatial coefficient (a parameter), so it
+    is constant across diffusion steps — samplers hoist it out of the
+    reverse scan via ``nn.ipa.precompute_encoder_aug_mats`` (the scatter
+    builds otherwise run every step: measured 0.28 ms/step at L=128)."""
+    coef = jnp.asarray(coef).reshape(H)
+    c = (coef * _INV_SQRT3).astype(jnp.float32)
+    s_node = _INV_SQRT3 / math.sqrt(Dqk)
+    Sq = _augment_matrix(coef, H, Dqk, P3, [s_node, -2.0 * c, c, c], dtype)
+    # ka layout swaps the sq/one slots relative to qa ([.., 1, |kp|^2]):
+    # drop both via zero scales, then add the swapped placements explicitly.
+    _, _, _, in_dim = _augment_layout(H, Dqk, P3)
+    Sk = _augment_matrix(coef, H, Dqk, P3, [1.0, 1.0, 0.0, 0.0], dtype)
+    swap = jnp.zeros((in_dim, H * _DA), jnp.float32)
+    sq_rows = np.asarray([H * Dqk + H * P3 + h for h in range(H)])
+    sq_cols = np.asarray([h * _DA + Dqk + P3 + 1 for h in range(H)])
+    one_row = np.asarray([in_dim - 1] * H)
+    one_cols = np.asarray([h * _DA + Dqk + P3 for h in range(H)])
+    swap = swap.at[sq_rows, sq_cols].set(1.0)
+    swap = swap.at[one_row, one_cols].set(1.0)
+    Sk = Sk + swap.astype(dtype)
+    return jnp.stack([Sq.astype(dtype), Sk])
+
+
+@functools.lru_cache(maxsize=None)
+def _planar_pool_np(H: int, P3: int):
+    """0/1 matrix pooling planar-flat squared points (H*P3) to per-head (H)."""
+    P = P3 // 3
+    m = np.zeros((H * P3, H), np.float32)
+    for c in range(3):
+        for h in range(H):
+            m[c * H * P + h * P:c * H * P + (h + 1) * P, h] = 1.0
+    return m
+
+
+def _augment(q, k, qp, kp, coef, H, Dqk, aug_mat=None):
     """Augmented q/k, each built by one GEMM against a sparse scale matrix.
+
+    ``qp``/``kp`` are planar-flat (N, L, H*P3): [x | y | z] component blocks,
+    head-major within each block (see :func:`_augment_layout`).
 
     q.k/sqrt(Dqk)*inv3 + coef*inv3*(|qp|^2 + |kp|^2 - 2 qp.kp) = qa . ka with
     qa_h = [q_h*inv3/sqrt(Dqk), -2*c_h*qp_h, c_h*|qp_h|^2, c_h, 0-pad]
@@ -258,48 +305,38 @@ def _augment(q, k, qp, kp, coef, H, Dqk):
     N, L = q.shape[:2]
     P3 = qp.shape[-1] // H
     dt = q.dtype
-    c = (coef * _INV_SQRT3).astype(jnp.float32)
+    if aug_mat is None:
+        aug_mat = make_augment_mat(coef, H, Dqk, P3, dt)
 
-    # Per-head |p|^2 via a 0/1 pooling GEMM (stays in flat lane layout).
-    pool = jnp.repeat(jnp.eye(H, dtype=dt), P3, axis=0)     # (H*P3, H)
-    sq_q = jnp.dot(qp * qp, pool)                           # (N, L, H)
-    sq_k = jnp.dot(kp * kp, pool)
+    # Per-head |p|^2 for both sides via one 0/1 pooling GEMM.
+    pool = jnp.asarray(_planar_pool_np(H, P3), dt)          # (H*P3, H)
+    sq_qk = jnp.dot(jnp.stack([qp * qp, kp * kp], axis=2), pool)  # (N,L,2,H)
     one = jnp.ones((N, L, 1), dt)
 
-    in_q = jnp.concatenate([q, qp, sq_q, one], axis=-1)
-    in_k = jnp.concatenate([k, kp, sq_k, one], axis=-1)
-
-    s_node = _INV_SQRT3 / math.sqrt(Dqk)
-    Sq = _augment_matrix(coef, H, Dqk, P3,
-                         [s_node, -2.0 * c, c, c], dt)
-    # ka layout swaps the sq/one slots relative to qa ([.., 1, |kp|^2]):
-    # drop both via zero scales, then add the swapped placements explicitly.
-    _, _, _, in_dim = _augment_layout(H, Dqk, P3)
-    Sk = _augment_matrix(coef, H, Dqk, P3, [1.0, 1.0, 0.0, 0.0], dt)
-    swap = jnp.zeros((in_dim, H * _DA), jnp.float32)
-    sq_rows = np.asarray([H * Dqk + H * P3 + h for h in range(H)])
-    sq_cols = np.asarray([h * _DA + Dqk + P3 + 1 for h in range(H)])
-    one_row = np.asarray([in_dim - 1] * H)
-    one_cols = np.asarray([h * _DA + Dqk + P3 for h in range(H)])
-    swap = swap.at[sq_rows, sq_cols].set(1.0)
-    swap = swap.at[one_row, one_cols].set(1.0)
-    Sk = Sk + swap.astype(dt)
-
-    qa = jnp.dot(in_q, Sq)
-    ka = jnp.dot(in_k, Sk)
+    in_q = jnp.concatenate([q, qp, sq_qk[:, :, 0], one], axis=-1)
+    in_k = jnp.concatenate([k, kp, sq_qk[:, :, 1], one], axis=-1)
+    qa = jnp.dot(in_q, aug_mat[0].astype(dt))
+    ka = jnp.dot(in_k, aug_mat[1].astype(dt))
     return qa, ka
 
 
 @functools.lru_cache(maxsize=None)
 def _value_matrix_np(H: int, Dv: int, PV3: int):
-    """0/1 permute matrix packing [v | vp] into per-head _DV-wide slots."""
+    """0/1 permute matrix packing [v | vp] into per-head _DV-wide slots.
+
+    ``vp`` arrives planar-flat ([x | y | z] blocks, head-major inside); each
+    head's slot gets [v_h (Dv) | x (PV) | y (PV) | z (PV)] so the kernel's
+    per-head output stays planar too."""
+    PV = PV3 // 3
     in_dim = H * (Dv + PV3)
     m = np.zeros((in_dim, H * _DV), np.float32)
     for h in range(H):
         for d in range(Dv):
             m[h * Dv + d, h * _DV + d] = 1.0
-        for p in range(PV3):
-            m[H * Dv + h * PV3 + p, h * _DV + Dv + p] = 1.0
+        for c in range(3):
+            for p in range(PV):
+                m[H * Dv + c * H * PV + h * PV + p,
+                  h * _DV + Dv + c * PV + p] = 1.0
     return m
 
 
@@ -335,21 +372,26 @@ def p2n_aggregate(alphas, z, reps: int = 1):
 
 
 def fused_ipa_from_flat(q, k, qp, kp, v, vp, z, pair_w, coef, mask,
-                        pair_bias=None, reps: int = 1,
+                        pair_bias=None, aug_mat=None, reps: int = 1,
                         interpret: bool = False):
     """Flat head-minor inputs -> fused kernel + XLA pair aggregation.
 
     Args mirror the GABlock projections (all (N, L, H*D) head-minor):
-      q/k: scalar queries/keys; qp/kp: global-frame query/key points;
-      v: node values; vp: global-frame value points; z: pair features
-      (N, L, L, Cz) — or (N//reps, L, L, Cz) when ``reps`` > 1 (trajectory
-      fan-out shares the complex's pair tensor); pair_w: (Cz, H) pair-bias
-      projection (unused if ``pair_bias`` given); coef: (H,) spatial logit
-      coefficients; mask: (N, L) valid-residue mask.
+      q/k: scalar queries/keys; qp/kp: global-frame query/key points,
+      PLANAR-flat ([x | y | z] blocks, head-major inside each — see
+      _augment_layout); v: node values; vp: global-frame value points
+      (planar-flat); z: pair features (N, L, L, Cz) — or (N//reps, L, L, Cz)
+      when ``reps`` > 1 (trajectory fan-out shares the complex's pair
+      tensor); pair_w: (Cz, H) pair-bias projection (unused if ``pair_bias``
+      given); coef: (H,) spatial logit coefficients; mask: (N, L)
+      valid-residue mask.
       pair_bias: optional precomputed head-major bias from
         :func:`precompute_pair_bias` (per-complex when ``reps`` > 1).
+      aug_mat: optional precomputed (2, in, out) matrices from
+        :func:`make_augment_mat` (step-constant; hoist out of scans).
 
-    Returns (feat_p2n (N,L,H*Cz), feat_node (N,L,H*Dv), pts (N,L,H*PV3)).
+    Returns (feat_p2n (N,L,H*Cz), feat_node (N,L,H*Dv), pts (N,L,H*PV3))
+    with pts per-head planar: head h slot = [x (PV) | y (PV) | z (PV)].
     """
     N, L = q.shape[:2]
     H = coef.shape[-1]
@@ -358,7 +400,7 @@ def fused_ipa_from_flat(q, k, qp, kp, v, vp, z, pair_w, coef, mask,
     PV3 = vp.shape[-1] // H
     ct = q.dtype
 
-    qa, ka = _augment(q, k, qp, kp, coef, H, Dqk)
+    qa, ka = _augment(q, k, qp, kp, coef, H, Dqk, aug_mat=aug_mat)
     if pair_bias is None:
         mask_c = mask[::reps] if reps > 1 else mask
         pair_bias = precompute_pair_bias(z, pair_w, mask_c, out_dtype=ct)
@@ -383,20 +425,24 @@ def fused_ipa_from_flat(q, k, qp, kp, v, vp, z, pair_w, coef, mask,
 def ipa_attention_reference(q, k, qp, kp, v, vp, z, pair_w, coef, mask):
     """Einsum reference implementation (same math, XLA-scheduled).
 
-    Takes flat head-minor inputs (N, L, H*D) and z in natural (N, L, L, Cz)
-    layout, mirroring the GABlock einsum path.
+    Takes the same layouts as :func:`fused_ipa_from_flat` (planar-flat
+    points) and z in natural (N, L, L, Cz) layout, mirroring the GABlock
+    einsum path.
     """
     N, L = q.shape[:2]
     H = coef.shape[-1]
     Dqk = q.shape[-1] // H
     reshape_h = lambda x: x.reshape(N, L, H, -1)
-    qh, kh, qph, kph, vh, vph = map(reshape_h, (q, k, qp, kp, v, vp))
+    qh, kh, vh = map(reshape_h, (q, k, v))
+    # planar-flat (H*P3) -> (3, H, P): component blocks, head-major inside.
+    planar = lambda x: x.reshape(N, L, 3, H, -1)
+    qph, kph, vph = map(planar, (qp, kp, vp))
 
     logits = jnp.einsum('nihc,njhc->nijh', qh, kh) / math.sqrt(Dqk)
     bias = jnp.einsum('nijc,ch->nijh', z, pair_w)
-    cross = jnp.einsum('nihc,njhc->nijh', qph, kph)
-    sq_q = jnp.sum(qph * qph, axis=-1)
-    sq_k = jnp.sum(kph * kph, axis=-1)
+    cross = jnp.einsum('nichp,njchp->nijh', qph, kph)
+    sq_q = jnp.sum(qph * qph, axis=(2, 4))
+    sq_k = jnp.sum(kph * kph, axis=(2, 4))
     d2 = sq_q[:, :, None, :] + sq_k[:, None, :, :] - 2 * cross
     logits = (logits + bias + d2 * coef) * _INV_SQRT3
 
@@ -408,5 +454,6 @@ def ipa_attention_reference(q, k, qp, kp, v, vp, z, pair_w, coef, mask):
 
     p2n = jnp.einsum('nijh,nijc->nihc', alpha, z).reshape(N, L, -1)
     node = jnp.einsum('nijh,njhc->nihc', alpha, vh).reshape(N, L, -1)
-    pts = jnp.einsum('nijh,njhc->nihc', alpha, vph).reshape(N, L, -1)
+    # Per-head planar output: head h slot = [x (PV) | y (PV) | z (PV)].
+    pts = jnp.einsum('nijh,njchp->nihcp', alpha, vph).reshape(N, L, -1)
     return p2n, node, pts

@@ -41,12 +41,50 @@ def _mlp(sd: Mapping, prefix: str, torch_indices) -> Dict:
             for i, j in enumerate(torch_indices)}
 
 
+def _point_planar_perm(H: int, P: int) -> np.ndarray:
+    """Column permutation: reference interleaved point layout (h, p, xyz) ->
+    the TPU rebuild's planar layout ([x | y | z] blocks, head-major inside);
+    see nn/ipa.py GABlock (planar keeps point tensors wide in the lane dim).
+    ``planar[i] = interleaved[perm[i]]``."""
+    perm = np.empty(3 * H * P, np.int64)
+    for c in range(3):
+        for h in range(H):
+            for p in range(P):
+                perm[c * H * P + h * P + p] = (h * P + p) * 3 + c
+    return perm
+
+
 def _ga_block(sd: Mapping, prefix: str) -> Dict:
+    H = _np(sd[f'{prefix}.spatial_coef']).reshape(-1).shape[0]
+    P = _np(sd[f'{prefix}.proj_query_point.weight']).shape[0] // (3 * H)
+    PV = _np(sd[f'{prefix}.proj_value_point.weight']).shape[0] // (3 * H)
+    V = _np(sd[f'{prefix}.proj_value.weight']).shape[0] // H
+    Cz = _np(sd[f'{prefix}.proj_pair_bias.weight']).shape[1]
+
     p = {}
-    for name in ('proj_query', 'proj_key', 'proj_value', 'proj_pair_bias',
-                 'proj_query_point', 'proj_key_point', 'proj_value_point'):
+    for name in ('proj_query', 'proj_key', 'proj_value', 'proj_pair_bias'):
         p[name] = _linear(sd, f'{prefix}.{name}')
-    p['out_transform'] = _linear(sd, f'{prefix}.out_transform')
+    for name, np_ in (('proj_query_point', P), ('proj_key_point', P),
+                      ('proj_value_point', PV)):
+        lin = _linear(sd, f'{prefix}.{name}')
+        perm = _point_planar_perm(H, np_)
+        lin['kernel'] = lin['kernel'][:, perm]
+        if 'bias' in lin:
+            lin['bias'] = lin['bias'][perm]
+        p[name] = lin
+
+    # out_transform input rows: [p2n | node | points | dist | dir]; the
+    # points and direction sections are planar in the rebuild.
+    ot = _linear(sd, f'{prefix}.out_transform')
+    kern = ot['kernel']
+    perm_pv = _point_planar_perm(H, PV)
+    o0 = H * Cz + H * V
+    o1 = o0 + 3 * H * PV
+    o2 = o1 + H * PV
+    ot['kernel'] = np.concatenate([
+        kern[:o0], kern[o0:o1][perm_pv], kern[o1:o2], kern[o2:][perm_pv],
+    ], axis=0)
+    p['out_transform'] = ot
     p['spatial_coef'] = _np(sd[f'{prefix}.spatial_coef'])
     p['LayerNorm_0'] = _layernorm(sd, f'{prefix}.layer_norm_1')
     p['LayerNorm_1'] = _layernorm(sd, f'{prefix}.layer_norm_2')

@@ -51,7 +51,7 @@ def main():
     use_pallas = variant != 'einsum'
     f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
         pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr,
-        biases if use_pallas else None, use_pallas,
+        pair_biases=biases if use_pallas else None, use_pallas=use_pallas,
         method=DiffAbNet.denoise_step))
     ms = timeit(f, params, v, p, s)
     print(f'denoise fwd [{variant}]: {ms:8.3f} ms', flush=True)

@@ -69,8 +69,9 @@ def main():
 
     def denoise(use_pallas, biases):
         f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
-            pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases,
-            use_pallas, method=DiffAbNet.denoise_step))
+            pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr,
+            pair_biases=biases, use_pallas=use_pallas,
+            method=DiffAbNet.denoise_step))
         return timeit(f, params, v, p, s)
 
     print(f'denoise fwd (pallas)   : {denoise(True, pair_biases):8.3f} ms',

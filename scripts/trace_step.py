@@ -28,27 +28,37 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else 'pallas'
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    # reps > 1: trajectory fan-out (bench workload) — N replicas of ONE
+    # complex sharing its pair tensor, instead of N independent complexes.
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     cfg = DiffAbConfig(dtype='bfloat16')
     model = DiffAb(cfg)
-    batch = _make_batch(N=N, L=L)
+    batch = _make_batch(N=N // reps if reps > 1 else N, L=L)
     params = model.init(jax.random.key(0), batch)
     res_feat, pair_feat, R0, p0 = model.encode(params, batch, True, True)
     v = rotation_to_so3vec(R0)
     p = model.normalize_position(p0)
     s = batch['aa']
-    beta = model.trans_pos.sched.betas[jnp.full((N,), 50)]
     mg, mr = batch['generate_flag'], batch['mask']
+    if reps > 1:
+        rep = lambda x: jnp.repeat(x, reps, axis=0)
+        v, p, s, res_feat, mg, mr = map(rep, (v, p, s, res_feat, mg, mr))
+    beta = model.trans_pos.sched.betas[jnp.full((N,), 50)]
     use_pallas = variant == 'pallas'
-    biases = None
+    biases = aug_mats = None
     if use_pallas:
+        from ab_opt_tpu.nn.ipa import precompute_encoder_aug_mats
         biases = precompute_encoder_pair_biases(
-            params['params']['eps_net']['encoder'], pair_feat, mr,
+            params['params']['eps_net']['encoder'], pair_feat, mr[::reps],
             cfg.num_layers, dtype=cfg.compute_dtype)
+        aug_mats = precompute_encoder_aug_mats(
+            params['params']['eps_net']['encoder'], cfg.num_layers,
+            dtype=cfg.compute_dtype)
 
     f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
-        pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases,
-        use_pallas, method=DiffAbNet.denoise_step))
+        pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases, aug_mats,
+        use_pallas, reps, method=DiffAbNet.denoise_step))
     for _ in range(3):
         out = f(params, v, p, s)
     jax.block_until_ready(out)
