@@ -76,9 +76,20 @@ def main(argv=None):
     elif args.finetune:
         trainer.resume(args.finetune, finetune=True)
 
+    # AbDesign-style sampling-in-the-loop validation: design the first
+    # `sampling_eval.num_items` val structures every val period and track
+    # the best checkpoint by CDR-H3 RMSD (AbDesign/train.py:150-184).
+    eval_cfg = config['train'].get('sampling_eval') or {}
+    eval_items = None
+    if eval_cfg.get('enabled'):
+        n_items = int(eval_cfg.get('num_items', 4))
+        eval_items = [val_dataset[i]
+                      for i in range(min(n_items, len(val_dataset)))]
+
     trainer.train(inf_iterator(train_loader), val_loader=val_loader,
                   max_iters=args.max_iters or config['train']['max_iters'],
-                  seed=seed)
+                  seed=seed, sampling_eval_items=eval_items,
+                  sampling_eval_samples=int(eval_cfg.get('num_samples', 1)))
     return trainer
 
 

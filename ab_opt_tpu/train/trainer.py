@@ -220,15 +220,52 @@ class Trainer:
                 self._set_lr(new_lr)
         return avg
 
+    def _sampling_eval(self, items, num_samples, key, tracker) -> Dict:
+        """Design the val items, log per-CDR RMSD/AAR, update best ckpt."""
+        from .sampling_eval import evaluate_samples
+        out_dir = (os.path.join(self.log_dir, 'sampling_eval',
+                                f'it{self.iteration}')
+                   if self.log_dir else None)
+        metrics = evaluate_samples(self.model, self.params, items, key,
+                                   num_samples=num_samples, out_dir=out_dir)
+        logger.info('sampling eval it %d | %s', self.iteration,
+                    ' '.join(f'{k}={v:.4f}' for k, v in metrics.items()
+                             if isinstance(v, float) and np.isfinite(v)))
+        if self._wandb is not None:
+            self._wandb.log({f'eval/{k}': v for k, v in metrics.items()},
+                            step=self.iteration)
+        # Rank by H_CDR3 RMSD like the reference; global RMSD otherwise.
+        rank = metrics.get('rmsd/H_CDR3', metrics.get('rmsd', float('nan')))
+        tracker.update(rank, lambda path: save_checkpoint(
+            path, config=self.full_config, params=self.params,
+            opt_state=None, iteration=self.iteration,
+            extra={'sampling_eval': metrics, 'lr': self.lr}),
+            self.iteration)
+        return metrics
+
     # ------------------------------------------------------------------- loop
 
     def train(self, train_iterator, val_loader=None,
               max_iters: Optional[int] = None, seed: int = 0,
               log_every: int = 50,
-              on_step: Optional[Callable[[int, Dict], None]] = None):
+              on_step: Optional[Callable[[int, Dict], None]] = None,
+              sampling_eval_items: Optional[list] = None,
+              sampling_eval_samples: int = 1):
+        """``sampling_eval_items``: transformed val structures for
+        sampling-in-the-loop validation (AbDesign's eval strategy,
+        AbDesign/train.py:150-184): every val period, design them and track
+        the best checkpoint by CDR-H3 CA-RMSD (falling back to the global
+        RMSD when no H3 items exist); per-CDR metrics and sample PDBs land
+        under ``<log_dir>/sampling_eval/it<iteration>/``."""
         max_iters = max_iters or int(self.cfg.get('max_iters', 1000))
         val_freq = int(self.cfg.get('val_freq', 1000))
         key = jax.random.key(seed + 1)
+
+        best_tracker = None
+        if sampling_eval_items:
+            from .sampling_eval import BestCheckpointTracker
+            best_tracker = BestCheckpointTracker(
+                self.ckpt_dir or (self.log_dir or '.'), metric='rmsd')
 
         # Device prefetch: keep the next batch's H2D transfer in flight
         # while the current step computes (async dispatch overlaps them).
@@ -261,6 +298,11 @@ class Trainer:
                     val_loader, jax.random.fold_in(key, 2 ** 30 + self.iteration))
                 logger.info('val it %d | loss %.4f', self.iteration, avg)
                 self.save(extra={'avg_val_loss': avg})
+                if best_tracker is not None:
+                    self._sampling_eval(sampling_eval_items,
+                                        sampling_eval_samples,
+                                        jax.random.fold_in(key, self.iteration),
+                                        best_tracker)
         if val_loader is None:
             self.save()
         return self.params

@@ -105,3 +105,55 @@ def test_nan_guard(tmp_path, data):
         trainer.train_step(bad, jax.random.key(0))
     import glob
     assert glob.glob(str(tmp_path / 'nan_dump_*.pkl'))
+
+
+def test_sampling_eval(tmp_path, data):
+    """Per-CDR sampling eval + best-ckpt tracking + sample dumps
+    (AbDesign/diffab/utils/train.py:302-360 analog)."""
+    from ab_opt_tpu.train.sampling_eval import (BestCheckpointTracker,
+                                                evaluate_samples)
+
+    model = DiffAb(CFG)
+    trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path))
+    collate = PaddingCollate(buckets=(16,))
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=collate, prefetch=0)
+    trainer.init_params(next(iter(loader)))
+
+    items = [dict(d, cdr_flag=np.where(d['generate_flag'], 3, 0)
+                  .astype(np.int32)) for d in data[:2]]
+    out_dir = tmp_path / 'se'
+    metrics = evaluate_samples(model, trainer.params, items,
+                               jax.random.key(0), num_samples=2,
+                               batch_size=4, out_dir=str(out_dir))
+    assert np.isfinite(metrics['rmsd']) and 0 <= metrics['aar'] <= 1
+    assert metrics['n'] == 4                       # 2 items x 2 samples
+    assert np.isfinite(metrics['rmsd/H_CDR3'])     # per-CDR breakdown
+    assert (out_dir / 'results.csv').exists()
+    pdbs = list(out_dir.glob('*.pdb'))
+    assert len(pdbs) == 4 and 'H_CDR3' in pdbs[0].name
+
+    # Best tracker keeps exactly one best checkpoint.
+    tracker = BestCheckpointTracker(str(tmp_path), metric='rmsd')
+    assert tracker.update(5.0, lambda p: open(p, 'w').write('x'), 1)
+    assert tracker.update(2.0, lambda p: open(p, 'w').write('x'), 2)
+    assert not tracker.update(3.0, lambda p: open(p, 'w').write('x'), 3)
+    import glob as _g
+    assert len(_g.glob(str(tmp_path / 'best_rmsd_*.ckpt'))) == 1
+
+
+def test_trainer_sampling_eval_integration(tmp_path, data):
+    """trainer.train with sampling_eval_items writes eval dirs + best ckpt."""
+    model = DiffAb(CFG)
+    cfg = dict(TRAIN_CFG, max_iters=12, val_freq=10)
+    trainer = Trainer(model, cfg, log_dir=str(tmp_path),
+                      full_config={'model': {'type': 'diffab'}})
+    collate = PaddingCollate(buckets=(16,))
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=collate, prefetch=0)
+    trainer.init_params(next(iter(loader)))
+    trainer.train(inf_iterator(loader), val_loader=loader, max_iters=12,
+                  sampling_eval_items=data[:2])
+    import glob as _g
+    assert _g.glob(str(tmp_path / 'sampling_eval' / 'it*' / 'results.csv'))
+    assert _g.glob(str(tmp_path / 'checkpoints' / 'best_rmsd_*.ckpt'))
