@@ -202,12 +202,16 @@ def calc_dockq(model_path: str, native_path: str,
                     Q.append(cm.atoms[km])
         return np.asarray(P, np.float64), np.asarray(Q, np.float64)
 
-    # irms: superposition over interface atoms.
+    # irms: superposition over interface atoms. A native with no interface
+    # contacts (e.g. screening against a badly-docked pose used as the
+    # reference) has an empty interface set — score the model as maximally
+    # wrong (irms -> inf => its DockQ term -> 0) instead of poisoning
+    # downstream rankings with NaN.
     P_int, Q_int = matched_coords(lambda k: k in interface)
     if len(P_int) >= 3:
         irms, _ = kabsch_rmsd(P_int, Q_int)
     else:
-        irms = float('nan')
+        irms = float('inf')
 
     # LRMS: align receptor (larger group by matched atoms), measure ligand.
     P0, Q0 = matched_coords(lambda k: cn.group[cn.res_index[k]] == 0)
@@ -220,10 +224,12 @@ def calc_dockq(model_path: str, native_path: str,
         _, Q_lig_fit = kabsch_rmsd(P_rec, Q_rec, apply_to=Q_lig)
         lrms = plain_rmsd(P_lig, Q_lig_fit)
     else:
-        lrms = float('nan')
+        lrms = float('inf')
 
-    dockq = (fnat + 1.0 / (1 + (irms / 1.5) ** 2)
-             + 1.0 / (1 + (lrms / 8.5) ** 2)) / 3.0
+    # inf rms terms contribute 0 (1/(1+inf) == 0 under IEEE semantics).
+    irms_term = 0.0 if np.isinf(irms) else 1.0 / (1 + (irms / 1.5) ** 2)
+    lrms_term = 0.0 if np.isinf(lrms) else 1.0 / (1 + (lrms / 8.5) ** 2)
+    dockq = (fnat + irms_term + lrms_term) / 3.0
 
     return {
         'DockQ': dockq, 'irms': irms, 'Lrms': lrms, 'fnat': fnat,

@@ -77,6 +77,27 @@ class TestDockQ:
         assert scores[0] > scores[1] > scores[2]
         assert scores[0] < 1.0
 
+    def test_no_interface_native_scores_zero_not_nan(self, two_chain_pdb):
+        """A reference with no receptor-ligand contacts (e.g. screening
+        against a badly-docked pose) must yield a finite, worst-case DockQ
+        rather than NaN (NaN poisoned optimize-pipeline rankings)."""
+        data, _, tmp = two_chain_pdb
+        far = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+               for k, v in data.items()}
+        is_ab = np.asarray([c == 'A' for c in data['chain_id']])
+        far['pos_heavyatom'] = data['pos_heavyatom'].copy()
+        far['pos_heavyatom'][is_ab] += np.float32(500.0)
+        p = tmp / 'no_contact_native.pdb'
+        save_pdb(far, str(p))
+        # Model = the real docked complex, reference = the contactless pose.
+        res = calc_dockq(str(two_chain_pdb[1]), str(p), use_ca_only=True)
+        assert np.isfinite(res['DockQ'])
+        assert res['DockQ'] == pytest.approx(0.0, abs=0.01)
+        assert res['fnat'] == 0.0
+        # Even self-vs-self on a contactless pose stays finite.
+        res2 = calc_dockq(str(p), str(p), use_ca_only=True)
+        assert np.isfinite(res2['DockQ'])
+
     def test_rigid_motion_of_whole_complex_is_perfect(self, two_chain_pdb):
         """A global rigid transform must not change DockQ (alignment-based)."""
         data, native, tmp = two_chain_pdb
