@@ -82,31 +82,48 @@ def _searchsorted_rows(cdf: jnp.ndarray, rows: jnp.ndarray, u: jnp.ndarray) -> j
     return lo
 
 
-def sample_igso3_angle(key, tables: IGSO3Tables, t: jnp.ndarray) -> jnp.ndarray:
-    """Sample rotation angles in [0, pi), one per element of ``t``.
+def sample_igso3_angle(key, tables: IGSO3Tables, t: jnp.ndarray,
+                       shape=None) -> jnp.ndarray:
+    """Sample rotation angles in [0, pi), one per element of ``shape``
+    (defaults to ``t.shape``).
 
-    ``t`` indexes the noise level per element (any shape).
+    ``t`` indexes the noise level: per element (shape-matching ``shape``),
+    or a SCALAR shared by all elements (the sampling scan's case — one
+    uniform t per reverse step). The scalar path gathers one CDF row and
+    inverts it with a single compare-and-sum instead of a per-element
+    binary search (10 gathers of shape-many elements measured ~0.3 ms/step).
     """
+    shape = tuple(shape) if shape is not None else tuple(t.shape)
     k_bin, k_frac, k_gauss = jax.random.split(key, 3)
-    u = jax.random.uniform(k_bin, t.shape)
-    bin_idx = _searchsorted_rows(tables.cdf, t, u)
-    frac = jax.random.uniform(k_frac, t.shape)
+    u = jax.random.uniform(k_bin, shape)
+    if t.ndim == 0:
+        cdf_t = tables.cdf[t]                               # (B,)
+        bin_idx = jnp.sum(cdf_t < u[..., None], axis=-1).astype(jnp.int32)
+        std = tables.stddevs[t]
+        flag = tables.approx_flag[t]
+    else:
+        rows = jnp.broadcast_to(t, shape)
+        bin_idx = _searchsorted_rows(tables.cdf, rows, u)
+        std = tables.stddevs[rows]
+        flag = tables.approx_flag[rows]
+    frac = jax.random.uniform(k_frac, shape)
     samples_hist = (bin_idx.astype(jnp.float32) + frac) * tables.dx
 
-    std = tables.stddevs[t]
-    g = std * 2.0 + jax.random.normal(k_gauss, t.shape) * std
+    g = std * 2.0 + jax.random.normal(k_gauss, shape) * std
     samples_gauss = jnp.abs(g) % math.pi
 
-    return jnp.where(tables.approx_flag[t], samples_gauss, samples_hist)
+    return jnp.where(flag, samples_gauss, samples_hist)
 
 
-def sample_igso3_vector(key, tables: IGSO3Tables, t: jnp.ndarray) -> jnp.ndarray:
-    """Random axis, IGSO3-distributed angle -> so3 vectors, shape t.shape+(3,).
+def sample_igso3_vector(key, tables: IGSO3Tables, t: jnp.ndarray,
+                        shape=None) -> jnp.ndarray:
+    """Random axis, IGSO3-distributed angle -> so3 vectors, shape+(3,).
 
     Equivalent of the reference's ``random_normal_so3`` (so3.py:141).
     """
+    shape = tuple(shape) if shape is not None else tuple(t.shape)
     k_axis, k_angle = jax.random.split(key)
-    axis = jax.random.normal(k_axis, tuple(t.shape) + (3,))
+    axis = jax.random.normal(k_axis, shape + (3,))
     axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-6)
-    theta = sample_igso3_angle(k_angle, tables, t)
+    theta = sample_igso3_angle(k_angle, tables, t, shape)
     return axis * theta[..., None]

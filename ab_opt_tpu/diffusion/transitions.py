@@ -168,11 +168,21 @@ class RotationTransition(NamedTuple):
 
     def denoise(self, key, v_t, v_next, mask_generate, t):
         """Reverse step: the network already outputs the *updated* rotation
-        v_next; add IGSO3(sigma_t) noise except at the final step."""
-        t_res = jnp.broadcast_to(t[..., None] if t.ndim == v_t.ndim - 2 else t,
-                                 v_t.shape[:-1])
-        e = sample_igso3_vector(key, self.igso3_inv, t_res)
-        e = jnp.where((t_res > 1)[..., None], e, jnp.zeros_like(e))
+        v_next; add IGSO3(sigma_t) noise except at the final step.
+
+        ``t`` may be scalar (one level for the whole batch — the sampling
+        scan's fast path) or shaped (N,) / (N, L)."""
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t_res = t
+        else:
+            t_res = jnp.broadcast_to(
+                t[..., None] if t.ndim == v_t.ndim - 2 else t,
+                v_t.shape[:-1])
+        e = sample_igso3_vector(key, self.igso3_inv, t_res,
+                                shape=v_t.shape[:-1])
+        gate = jnp.broadcast_to(t_res > 1, v_t.shape[:-1])
+        e = jnp.where(gate[..., None], e, jnp.zeros_like(e))
         E = so3vec_to_rotation(e)
         R_next = jnp.matmul(E, so3vec_to_rotation(v_next), precision=_HI)
         v_out = rotation_to_so3vec(R_next)

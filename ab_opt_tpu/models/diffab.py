@@ -291,13 +291,14 @@ class DiffAb:
                 dtype=self.cfg.compute_dtype)
 
         def step(carry, ts):
+            # ``t`` stays SCALAR throughout the step: every schedule-table
+            # read is one element + broadcast. Indexing tables with (N,) /
+            # (N, L) t cost ~0.6 ms/step in per-step gather dispatches.
             t, t_next = ts
             v_t, p_t, s_t, key = carry
             key, k_rot, k_pos, k_seq = jax.random.split(key, 4)
             N = v_t.shape[0]
-            t_vec = jnp.full((N,), t, jnp.int32)
-            t_next_vec = jnp.full((N,), t_next, jnp.int32)
-            beta = self.trans_pos.sched.betas[t_vec]
+            beta = jnp.broadcast_to(self.trans_pos.sched.betas[t], (N,))
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
@@ -307,24 +308,24 @@ class DiffAb:
                                           self.cfg.dist_max)
             if self.cfg.obj == 'pred_x0':
                 eps_p = self.trans_pos.pred_noise_from_start(
-                    p_t, p_pred, mask_generate, t_vec)
+                    p_t, p_pred, mask_generate, t)
             else:
                 eps_p = p_pred
 
             if stride == 1:
                 v_new = self.trans_rot.denoise(k_rot, v_t, v_next,
-                                               mask_generate, t_vec)
+                                               mask_generate, t)
                 p_new = self.trans_pos.denoise(k_pos, p_t, eps_p,
-                                               mask_generate, t_vec)
+                                               mask_generate, t)
             else:
                 # Strided jump: DDIM positions; the rotation head predicts
                 # the clean orientation, re-noised at the target level.
                 v_new = self.trans_rot.denoise(k_rot, v_t, v_next,
-                                               mask_generate, t_next_vec)
+                                               mask_generate, t_next)
                 p_new = self.trans_pos.ddim_step(p_t, eps_p, mask_generate,
-                                                 t_vec, t_next_vec)
+                                                 t, t_next)
             post, s_new = self.trans_seq.denoise(k_seq, s_t, c_denoised,
-                                                 mask_generate, t_vec)
+                                                 mask_generate, t)
             ppl = L.sequence_perplexity(post, mask_generate)
 
             if not sample_structure:

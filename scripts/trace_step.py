@@ -56,17 +56,26 @@ def main():
             params['params']['eps_net']['encoder'], cfg.num_layers,
             dtype=cfg.compute_dtype)
 
-    f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
-        pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases, aug_mats,
-        use_pallas, reps, method=DiffAbNet.denoise_step))
-    for _ in range(3):
-        out = f(params, v, p, s)
+    if variant == 'sample':
+        # Trace the FULL 100-step sampling call (one trace, costs /= steps).
+        f = jax.jit(lambda pa, b, k: model.sample(
+            pa, b, k, num_replicas=max(reps, 1)))
+        calls, divisor = 1, cfg.num_steps
+        run = lambda: f(params, batch, jax.random.key(1))
+    else:
+        f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
+            pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases,
+            aug_mats, use_pallas, reps, method=DiffAbNet.denoise_step))
+        calls, divisor = 3, 3
+        run = lambda: f(params, v, p, s)
+    for _ in range(2):
+        out = run()
     jax.block_until_ready(out)
 
     tdir = '/tmp/jax_trace'
     with jax.profiler.trace(tdir):
-        for _ in range(3):
-            out = f(params, v, p, s)
+        for _ in range(calls):
+            out = run()
         jax.block_until_ready(out)
 
     files = sorted(glob.glob(tdir + '/**/*.trace.json.gz', recursive=True))
@@ -100,9 +109,9 @@ def main():
         cnt[base] += 1
         total += dur
     print(f'process names: {sorted(set(pid_names.values()))}', flush=True)
-    print(f'total device op time per call: {total/3:.3f} ms', flush=True)
+    print(f'total device op time per step: {total/divisor:.3f} ms', flush=True)
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
-        print(f'{dur/3:9.4f} ms  x{cnt[name]//3:<4d} {name[:100]}', flush=True)
+        print(f'{dur/divisor:9.4f} ms  x{cnt[name]//divisor:<4d} {name[:100]}', flush=True)
 
     print('--- top individual ops ---', flush=True)
     ind = defaultdict(float)
@@ -114,7 +123,7 @@ def main():
             continue
         ind[name] += ev.get('dur', 0) / 1e3
     for name, dur in sorted(ind.items(), key=lambda kv: -kv[1])[:25]:
-        print(f'{dur/3:9.4f} ms  {name[:110]}', flush=True)
+        print(f'{dur/divisor:9.4f} ms  {name[:110]}', flush=True)
 
 
 if __name__ == '__main__':
