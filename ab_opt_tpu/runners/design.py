@@ -172,6 +172,21 @@ class BatchedSampler:
     then denoise) path.
     """
 
+    @classmethod
+    def get(cls, model, params, **kw) -> 'BatchedSampler':
+        """Memoized constructor: one jitted sampler per (model, params,
+        flags). Pipeline loops (optimize/testset: one design call per pose)
+        otherwise rebuild the jit closure per pose and re-trace every time;
+        with this cache + shape bucketing, compilation amortizes across the
+        whole pose set (replaces the reference's Ray per-GPU workers)."""
+        cache = getattr(model, '_sampler_cache', None)
+        if cache is None:
+            cache = model._sampler_cache = {}
+        key = (id(params),) + tuple(sorted(kw.items()))
+        if key not in cache:
+            cache[key] = cls(model, params, **kw)
+        return cache[key]
+
     def __init__(self, model: DiffAb, params, sample_structure=True,
                  sample_sequence=True, keep_traj=False,
                  opt_step: Optional[int] = None, stride: int = 1):
@@ -243,8 +258,13 @@ def _antigen_and_patch_mask(data_tmpl, data_cropped):
     return antigen_mask | patch_mask
 
 
-def design_for_pdb(args: DesignArgs) -> Dict:
-    """Run the full design/dock pipeline for one PDB. Returns summary dict."""
+def design_for_pdb(args: DesignArgs, model=None, params=None) -> Dict:
+    """Run the full design/dock pipeline for one PDB. Returns summary dict.
+
+    ``model``/``params`` may be passed in by pipeline loops (one model,
+    many poses) to reuse the jitted sampler across calls; otherwise they
+    are loaded from ``args.ckpt`` / built from ``args.config``.
+    """
     cfg = args.config or {}
     mode = cfg.get('mode', 'single_cdr')
     sampling_cfg = dict(cfg.get('sampling', {}))
@@ -270,16 +290,18 @@ def design_for_pdb(args: DesignArgs) -> Dict:
     if structure is None:
         raise ValueError(f'Failed to parse {args.pdb_path}')
 
-    # Model: from checkpoint (arch from embedded config) or random init.
-    if args.ckpt:
-        model, params, ckpt_cfg = load_model_from_checkpoint(args.ckpt)
-        cfg = dict(ckpt_cfg.get('test', {}), **cfg) if ckpt_cfg else cfg
-    else:
-        from ..models import get_model
-        model_cfg = dict(cfg.get('model', {}))
-        model_cfg.setdefault('type', 'diffab')
-        model = get_model(model_cfg)
-        params = None   # initialized lazily below
+    # Model: caller-provided, from checkpoint (arch from embedded config),
+    # or random init.
+    if model is None:
+        if args.ckpt:
+            model, params, ckpt_cfg = load_model_from_checkpoint(args.ckpt)
+            cfg = dict(ckpt_cfg.get('test', {}), **cfg) if ckpt_cfg else cfg
+        else:
+            from ..models import get_model
+            model_cfg = dict(cfg.get('model', {}))
+            model_cfg.setdefault('type', 'diffab')
+            model = get_model(model_cfg)
+            params = None   # initialized lazily below
 
     log_dir = os.path.join(args.out_root,
                            f'{structure_id}_{args.tag}'.rstrip('_'))
@@ -335,7 +357,10 @@ def design_for_structure(structure, model, params, cfg: Dict,
                                 'remove_sequence': sample_sequence})
     inference_tfm = get_transform(inference_steps)
 
-    collate = PaddingCollate()
+    # Coarse length buckets so crops from different poses/complexes land on
+    # shared padded shapes — one compile serves the whole pose set.
+    collate = PaddingCollate(buckets=(32, 48, 64, 96, 128, 160, 192, 224,
+                                      256, 320, 384, 512))
     key = jax.random.key(args.seed)
     results: Dict[str, Dict] = {}
     aa_rows = []
@@ -354,15 +379,20 @@ def design_for_structure(structure, model, params, cfg: Dict,
             single['generate_flag'] = single['generate_flag'] & cm
 
         if params is None:
-            params = model.init(jax.random.key(args.seed),
-                                to_device_batch(single))
+            # Reuse one lazy random init per model so pipeline loops hit the
+            # sampler cache (and its compiled code) across poses.
+            params = getattr(model, '_lazy_params', None)
+            if params is None:
+                params = model.init(jax.random.key(args.seed),
+                                    to_device_batch(single))
+                model._lazy_params = params
 
-        sampler = BatchedSampler(model, params,
-                                 sample_structure=sample_structure,
-                                 sample_sequence=sample_sequence,
-                                 keep_traj=args.keep_traj,
-                                 opt_step=variant.get('opt_step'),
-                                 stride=args.stride)
+        sampler = BatchedSampler.get(model, params,
+                                     sample_structure=sample_structure,
+                                     sample_sequence=sample_sequence,
+                                     keep_traj=args.keep_traj,
+                                     opt_step=variant.get('opt_step'),
+                                     stride=args.stride)
 
         # Native reference patch (antigen + patch region) for DockQ.
         data_tmpl = variant['data']

@@ -62,11 +62,25 @@ def scan_poses(pose_dir: str, suffix: str = '', max_poses: Optional[int] = None
     return paths[:max_poses] if max_poses else paths
 
 
+def _pipeline_model(ckpt: Optional[str], config: Optional[Dict]):
+    """One (model, params) for a whole stage — design_for_pdb then reuses
+    the jitted sampler across every pose instead of re-tracing per call."""
+    if ckpt:
+        from .design import load_model_from_checkpoint
+        model, params, _ = load_model_from_checkpoint(ckpt)
+        return model, params
+    from ..models import get_model
+    model_cfg = dict((config or {}).get('model', {}))
+    model_cfg.setdefault('type', 'diffab')
+    return get_model(model_cfg), None    # params lazily inited + reused
+
+
 def seq_design_batch(args: OptimizeArgs) -> List[str]:
     """Stage 1: design sequences for each pose (ref optimize_ab.py:14-40)."""
     poses = scan_poses(args.docked_pose_dir, args.pdb_suffix, args.max_poses)
     logger.info('Stage 1: designing sequences for %d poses', len(poses))
     os.makedirs(args.seq_design_dir, exist_ok=True)
+    model, params = _pipeline_model(args.design_ckpt, args.design_config)
     out_dirs = []
     for pose_path in poses:
         name = os.path.splitext(os.path.basename(pose_path))[0]
@@ -77,7 +91,7 @@ def seq_design_batch(args: OptimizeArgs) -> List[str]:
             label_heavy_as_cdr=True, contig=args.design_contig,
             out_root=args.seq_design_dir, tag=name, keep_traj=False,
             run_dockq=False, seed=args.seed, id=name)
-        design_for_pdb(d_args)
+        design_for_pdb(d_args, model=model, params=params)
         out_dirs.append(os.path.join(args.seq_design_dir, f'{name}_{name}'))
     return out_dirs
 
@@ -92,6 +106,7 @@ def dock_seqs(args: OptimizeArgs, design_dirs: List[str]) -> Dict[str, Dict]:
         sample_paths.extend(sorted(glob.glob(os.path.join(d, '*', '[0-9]*.pdb'))))
     logger.info('Stage 2: re-docking %d designed sequences', len(sample_paths))
 
+    model, params = _pipeline_model(args.dock_ckpt, args.dock_config)
     for path in sample_paths:
         name = os.path.relpath(path, args.seq_design_dir).replace(os.sep, '__')[:-4]
         d_args = DesignArgs(
@@ -100,7 +115,7 @@ def dock_seqs(args: OptimizeArgs, design_dirs: List[str]) -> Dict[str, Dict]:
             num_samples=args.nums, batch_size=args.batch_size,
             label_heavy_as_cdr=True, out_root=args.screen_dir, tag=name,
             keep_traj=False, run_dockq=True, seed=args.seed, id=name)
-        res = design_for_pdb(d_args)
+        res = design_for_pdb(d_args, model=model, params=params)
         for tag, summ in res.items():
             results[f'{name}/{tag}'] = summ
     return results
