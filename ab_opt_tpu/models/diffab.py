@@ -51,7 +51,7 @@ class DiffAbConfig:
     mask_ratio_max: float = 0.0
     seed: int = 0
     dtype: str = 'float32'             # compute dtype for dense layers
-    ipa_impl: str = 'auto'             # 'auto' | 'einsum' | 'pallas'
+    ipa_impl: str = 'auto'             # 'auto' | 'einsum' | 'pallas' | 'pallas_fused' (experimental)
 
     @property
     def compute_dtype(self):
@@ -86,7 +86,7 @@ class DiffAbNet(nn.Module):
         dt = c.compute_dtype
         self.residue_embed = ResidueEmbedding(c.res_feat_dim, c.num_atoms, dtype=dt)
         self.pair_embed = PairEmbedding(c.pair_feat_dim, c.num_atoms, dtype=dt)
-        use_pallas = (c.ipa_impl == 'pallas'
+        use_pallas = (c.ipa_impl in ('pallas', 'pallas_fused')
                       or (c.ipa_impl == 'auto'
                           and jax.default_backend() == 'tpu'))
         self.eps_net = EpsilonNet(c.res_feat_dim, c.pair_feat_dim, c.num_layers,
@@ -120,11 +120,11 @@ class DiffAbNet(nn.Module):
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
                      mask_generate, mask_res, pair_biases=None, aug_mats=None,
-                     use_pallas=None, reps: int = 1):
+                     use_pallas=None, reps: int = 1, fused_encoder_fn=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
                             aug_mats=aug_mats, use_pallas=use_pallas,
-                            reps=reps)
+                            reps=reps, fused_encoder_fn=fused_encoder_fn)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -145,7 +145,7 @@ class DiffAb:
             cfg = DiffAbConfig.from_dict(cfg)
         self.cfg = cfg
         self.net = DiffAbNet(cfg)
-        self._use_pallas = (cfg.ipa_impl == 'pallas'
+        self._use_pallas = (cfg.ipa_impl in ('pallas', 'pallas_fused')
                             or (cfg.ipa_impl == 'auto'
                                 and jax.default_backend() == 'tpu'))
         self.trans_rot = RotationTransition.create(cfg.num_steps)
@@ -278,7 +278,7 @@ class DiffAb:
         # the fused pallas path (one einsum per layer per complex instead of
         # per step). The einsum path computes the bias inline (XLA fusion
         # measured faster than reading a hoisted (N, L, L, H) tensor).
-        pair_biases = aug_mats = None
+        pair_biases = aug_mats = fused_fn = None
         if self._use_pallas:
             from ..nn.ipa import (precompute_encoder_aug_mats,
                                   precompute_encoder_pair_biases)
@@ -286,9 +286,27 @@ class DiffAb:
             pair_biases = precompute_encoder_pair_biases(
                 enc_params, pair_feat, mask_res[::reps], self.cfg.num_layers,
                 dtype=self.cfg.compute_dtype)
-            aug_mats = precompute_encoder_aug_mats(
-                enc_params, self.cfg.num_layers,
-                dtype=self.cfg.compute_dtype)
+            if self.cfg.ipa_impl == 'pallas_fused':
+                # EXPERIMENTAL: fully-fused per-layer block kernel
+                # (ops/gablock_pallas.py). Correct (kernel==module tests) but
+                # currently slower than the composable path at fan-out scale:
+                # the in-kernel per-replica pair aggregation cannot batch
+                # alphas across replicas the way the XLA einsum does
+                # (M = reps*H vs M = H). Kept for single-replica workloads
+                # and further kernel work; see PERF.md.
+                from ..ops.gablock_pallas import (build_encoder_weights,
+                                                  fused_encoder_apply)
+                bundles = build_encoder_weights(enc_params,
+                                                self.cfg.num_layers)
+                interp = jax.default_backend() != 'tpu'
+                z_c = pair_feat
+                fused_fn = lambda R, t, x, m: fused_encoder_apply(
+                    bundles, R, t, x, z_c, pair_biases, m, reps=reps,
+                    interpret=interp)
+            else:
+                aug_mats = precompute_encoder_aug_mats(
+                    enc_params, self.cfg.num_layers,
+                    dtype=self.cfg.compute_dtype)
 
         def step(carry, ts):
             # ``t`` stays SCALAR throughout the step: every schedule-table
@@ -303,7 +321,7 @@ class DiffAb:
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
                 mask_generate, mask_res, pair_biases, aug_mats, None, reps,
-                method=DiffAbNet.denoise_step)
+                fused_fn, method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)
             if self.cfg.obj == 'pred_x0':

@@ -40,7 +40,7 @@ class EpsilonNet(nn.Module):
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
                  mask_generate, mask_res, pair_biases=None, aug_mats=None,
-                 use_pallas=None, reps: int = 1):
+                 use_pallas=None, reps: int = 1, fused_encoder_fn=None):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
@@ -48,6 +48,10 @@ class EpsilonNet(nn.Module):
             (N, L, L, C) — or (N // reps, L, L, C) under trajectory fan-out
             (replicas share their complex's pair tensor);
           beta: (N,) schedule value at t; mask_generate / mask_res: (N, L).
+          fused_encoder_fn: optional ``(R, t, x, mask) -> x`` callable that
+            replaces the GAEncoder stack — samplers pass the fully-fused
+            per-layer kernel (ops/gablock_pallas.py) with weights/biases
+            closed over (hoisted out of the reverse scan).
         """
         N, L = mask_res.shape
         F = self.res_feat_dim
@@ -58,13 +62,19 @@ class EpsilonNet(nn.Module):
         res_feat = MLP((F, F), dtype=self.dtype, name='res_feat_mixer')(
             jnp.concatenate([res_feat, seq_embed], axis=-1))
 
-        res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
-                             ga_block_opt=self.encoder_opt, dtype=self.dtype,
-                             use_pallas=self.use_pallas,
-                             name='encoder')(R, p_t, res_feat, pair_feat,
-                                             mask_res, pair_biases=pair_biases,
-                                             aug_mats=aug_mats,
-                                             use_pallas=use_pallas, reps=reps)
+        if fused_encoder_fn is not None:
+            res_feat = fused_encoder_fn(R, p_t, res_feat, mask_res)
+        else:
+            res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
+                                 ga_block_opt=self.encoder_opt,
+                                 dtype=self.dtype,
+                                 use_pallas=self.use_pallas,
+                                 name='encoder')(R, p_t, res_feat, pair_feat,
+                                                 mask_res,
+                                                 pair_biases=pair_biases,
+                                                 aug_mats=aug_mats,
+                                                 use_pallas=use_pallas,
+                                                 reps=reps)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

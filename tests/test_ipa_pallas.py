@@ -129,3 +129,90 @@ class TestReplicaSharing:
         got = blk.apply(params, R, t, x, z_c, mask, reps=reps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5)
+
+
+class TestFusedBlock:
+    """Fully-fused GABlock sampling kernel (ops/gablock_pallas.py) vs the
+    composable GABlock module."""
+
+    def _setup(self, rng, N=2, L=32, F=64, Cz=16, reps=1):
+        from ab_opt_tpu.geometry import quaternion_to_rotation_matrix
+        from ab_opt_tpu.nn.ipa import GABlock
+        q = rng.normal(size=(N, L, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        R = quaternion_to_rotation_matrix(jnp.asarray(q))
+        t = jnp.asarray(rng.normal(size=(N, L, 3)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(N, L, F)), jnp.float32)
+        Nc = N // reps
+        z = jnp.asarray(rng.normal(size=(Nc, L, L, Cz)), jnp.float32)
+        mask = jnp.ones((N, L)).at[:, -4:].set(0)
+        block = GABlock(F, Cz, dtype=jnp.bfloat16)
+        params = block.init(jax.random.key(0), R, t, x,
+                            z if reps == 1 else jnp.repeat(z, reps, 0), mask)
+        return block, params, (R, t, x, z, mask)
+
+    def test_matches_gablock(self, rng):
+        from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
+                                                   fused_gablock_layer)
+        from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
+        block, params, (R, t, x, z, mask) = self._setup(rng)
+        ref = block.apply(params, R, t, x, z, mask)       # einsum path, bf16
+
+        bp = params['params']
+        wb = build_gablock_weights(bp)
+        pw = bp['proj_pair_bias']['kernel'].astype(jnp.bfloat16)
+        bias = precompute_pair_bias(z.astype(jnp.bfloat16), pw, mask,
+                                    out_dtype=jnp.bfloat16)
+        N, L, F = x.shape
+        got = fused_gablock_layer(
+            x, R.reshape(N, L, 9).astype(jnp.float32), t,
+            z.astype(jnp.bfloat16), bias, mask.astype(jnp.float32), wb,
+            interpret=True)
+        valid = np.asarray(mask, bool)
+        np.testing.assert_allclose(np.asarray(got)[valid],
+                                   np.asarray(ref)[valid],
+                                   atol=0.05, rtol=0.05)
+
+    def test_replica_shared_pair(self, rng):
+        """reps > 1: replicas read their complex's z/bias block."""
+        from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
+                                                   fused_gablock_layer)
+        from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
+        block, params, (R, t, x, z, mask) = self._setup(rng, N=4, reps=2)
+        z_rep = jnp.repeat(z, 2, axis=0)
+        ref = block.apply(params, R, t, x, z_rep, mask)
+
+        bp = params['params']
+        wb = build_gablock_weights(bp)
+        pw = bp['proj_pair_bias']['kernel'].astype(jnp.bfloat16)
+        bias = precompute_pair_bias(z.astype(jnp.bfloat16), pw, mask[::2],
+                                    out_dtype=jnp.bfloat16)
+        N, L, F = x.shape
+        got = fused_gablock_layer(
+            x, R.reshape(N, L, 9).astype(jnp.float32), t,
+            z.astype(jnp.bfloat16), bias, mask.astype(jnp.float32), wb,
+            reps=2, interpret=True)
+        valid = np.asarray(mask, bool)
+        np.testing.assert_allclose(np.asarray(got)[valid],
+                                   np.asarray(ref)[valid],
+                                   atol=0.05, rtol=0.05)
+
+    def test_sample_e2e_fused(self, rng):
+        """DiffAb.sample with ipa_impl='pallas' routes the fused block
+        kernel (interpret on CPU) end-to-end: finite output, context
+        untouched, fan-out shapes right."""
+        from helpers import make_batch
+        from ab_opt_tpu.models import DiffAb, DiffAbConfig
+        batch = make_batch(np.random.default_rng(0), N=1, L=16)
+        cfg = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=4,
+                           num_layers=2, num_bins=8, ipa_impl='pallas_fused')
+        model = DiffAb(cfg)
+        params = model.init(jax.random.key(0), batch)
+        out = jax.jit(lambda p, b, k: model.sample(p, b, k, num_replicas=3))(
+            params, batch, jax.random.key(1))
+        assert out['p'].shape == (3, 16, 3)
+        assert np.isfinite(np.asarray(out['p'])).all()
+        ctx = ~np.asarray(batch['generate_flag'])[0]
+        for i in range(3):
+            np.testing.assert_array_equal(np.asarray(out['s'])[i][ctx],
+                                          np.asarray(batch['aa'])[0][ctx])
