@@ -68,7 +68,11 @@ class PaddingCollate:
         batch = {}
         for k, vs in out.items():
             if isinstance(vs[0], np.ndarray):
-                batch[k] = np.stack(vs)
+                # no_padding entries (origin, patch_idx) may be ragged when
+                # crop sizes differ across the batch — keep them as a list
+                # (host-side bookkeeping, never shipped to device).
+                shapes = {v.shape for v in vs}
+                batch[k] = np.stack(vs) if len(shapes) == 1 else vs
             else:
                 batch[k] = vs
         batch['mask'] = np.stack(masks)

@@ -65,8 +65,13 @@ class PerResiduePredictor(nn.Module):
 
     @nn.compact
     def __call__(self, s):
+        # AlphaFold-style init vocabulary, matching the reference's Linear
+        # init choices exactly (nn.py:174-176: relu/relu/final).
+        from .inits import final_init, relu_init
         s = nn.LayerNorm(epsilon=1e-10, dtype=jnp.float32)(s)
-        s = nn.relu(nn.Dense(self.c_hidden, dtype=self.dtype)(s))
-        s = nn.relu(nn.Dense(self.c_hidden, dtype=self.dtype)(s))
+        s = nn.relu(nn.Dense(self.c_hidden, dtype=self.dtype,
+                             kernel_init=relu_init)(s))
+        s = nn.relu(nn.Dense(self.c_hidden, dtype=self.dtype,
+                             kernel_init=relu_init)(s))
         return nn.Dense(self.no_bins, dtype=self.dtype,
-                        kernel_init=nn.initializers.zeros)(s)
+                        kernel_init=final_init)(s)

@@ -28,10 +28,11 @@ def lddt(pred_pos, true_pos, mask, cutoff: float = 15.0, eps: float = 1e-10):
         d2 = jnp.sum((p[:, :, None, :] - p[:, None, :, :]) ** 2, axis=-1)
         return jnp.sqrt(d2 + eps)
 
+    from .tensor_utils import permute_final_dims
     d_true = dmat(true_pos)
     d_pred = dmat(pred_pos)
     L = pred_pos.shape[1]
-    pair_mask = (mask * jnp.swapaxes(mask, 1, 2)
+    pair_mask = (mask * permute_final_dims(mask, (1, 0))
                  * (d_true < cutoff) * (1.0 - jnp.eye(L)[None]))
 
     dist_l1 = jnp.abs(d_true - d_pred)

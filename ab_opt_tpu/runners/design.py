@@ -471,6 +471,14 @@ def design_for_structure(structure, model, params, cfg: Dict,
         topk_idx = metrics.rank_commonness(cand, min(args.topk, count))
         summary = {f'{k}_mean': round(float(np.mean(v)), 3)
                    for k, v in scores.items() if v}
+        # Per-metric spread + full per-sample lists: the reference's
+        # screening filters on DockQ_std / prmsd_std quantiles
+        # (ab_opt.ipynb cells 5+7).
+        summary.update({f'{k}_std': round(float(np.std(v)), 3)
+                        for k, v in scores.items() if v})
+        summary.update({f'{k}_all': [float(x) for x in v]
+                        for k, v in scores.items()
+                        if v and k in ('DockQ', 'prmsd')})
         summary.update({f'{k}_top{args.topk}': [scores[k][i] for i in topk_idx]
                         for k in scores if scores[k]})
         summary['per_sample_rmsd'] = round(metrics.average_pairwise_rmsd(cand), 3)

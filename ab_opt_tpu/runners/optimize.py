@@ -123,21 +123,29 @@ def dock_seqs(args: OptimizeArgs, design_dirs: List[str]) -> Dict[str, Dict]:
 
 def summarize_screening(results: Dict[str, Dict], screen_dir: str,
                         prmsd_quantile: float = 0.5):
-    """Rank candidates: high DockQ mean, low DockQ std, confident pRMSD
-    (ref ab_opt.ipynb cells 7-9)."""
+    """Rank + filter candidates (ref ab_opt.ipynb cells 5-9): high DockQ
+    mean, low DockQ/pRMSD std (stable poses), confident pRMSD. ``selected``
+    reproduces the notebook's median-quantile filter (cell 7):
+    DockQ_std <= median AND prmsd_std <= median AND prmsd_avg <= median."""
     import pandas as pd
     rows = []
     for name, summ in results.items():
         rows.append({
             'candidate': name,
             'DockQ_avg': summ.get('DockQ_mean', float('nan')),
+            'DockQ_std': summ.get('DockQ_std', float('nan')),
             'prmsd_avg': summ.get('prmsd_mean', float('nan')),
+            'prmsd_std': summ.get('prmsd_std', float('nan')),
             'AAR': summ.get('AAR_mean', float('nan')),
         })
     df = pd.DataFrame(rows)
     if len(df):
         cut = df['prmsd_avg'].quantile(prmsd_quantile)
         df['confident'] = df['prmsd_avg'] <= cut
+        med = df[['DockQ_std', 'prmsd_std', 'prmsd_avg']].quantile(0.5)
+        df['selected'] = ((df['DockQ_std'] <= med['DockQ_std'])
+                          & (df['prmsd_std'] <= med['prmsd_std'])
+                          & (df['prmsd_avg'] <= med['prmsd_avg']))
         df = df.sort_values(['confident', 'DockQ_avg'],
                             ascending=[False, False])
     df.to_csv(os.path.join(screen_dir, 'screening_summary.csv'), index=False)

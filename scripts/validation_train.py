@@ -1,0 +1,136 @@
+"""Multi-complex training validation on real antibody structures.
+
+Environment constraint: the SAbDab dataset and reference checkpoints are not
+available here (zero egress), so the paper-scale split (BASELINE.md) cannot
+be trained against. This run is the strongest available stand-in: train the
+small diffab config from scratch on the THREE real antibody-antigen
+complexes bundled with the reference (7DK2, 5mes, 7bsd — Chothia-numbered),
+with the production data pipeline (merge -> single-CDR masking over all six
+CDRs with shrink/extend augmentation -> patch crop) and AbDesign-style
+sampling-in-the-loop validation (per-CDR RMSD/AAR + best-checkpoint
+tracking, ref AbDesign/train.py:150-184).
+
+Writes <out>/metrics.jsonl (train losses + eval points) and prints a final
+summary line.
+
+Usage: python scripts/validation_train.py [--steps 3000] [--out /tmp/val_run]
+"""
+import argparse
+import copy
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+EXAMPLES = '/root/reference/AbDock/data/examples'
+COMPLEXES = [
+    ('7DK2', f'{EXAMPLES}/7DK2_AB_C_chothia.pdb', 'A', 'B'),
+    ('5mes', f'{EXAMPLES}/5mes_H_L_A_chothia.pdb', 'H', 'L'),
+    ('7bsd', f'{EXAMPLES}/7bsd_A_B_G_chothia.pdb', 'A', 'B'),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=3000)
+    ap.add_argument('--out', default='/tmp/val_run')
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--eval_every', type=int, default=500)
+    args = ap.parse_args()
+
+    import jax
+    from ab_opt_tpu.data.collate import PaddingCollate
+    from ab_opt_tpu.data.structures import preprocess_antibody_structure
+    from ab_opt_tpu.data.transforms import get_transform
+    from ab_opt_tpu.models import DiffAb, DiffAbConfig
+    from ab_opt_tpu.train import Trainer
+
+    os.makedirs(args.out, exist_ok=True)
+    structures = []
+    for sid, path, h, l in COMPLEXES:
+        s = preprocess_antibody_structure(
+            {'id': sid, 'pdb_path': path, 'heavy_id': h, 'light_id': l})
+        assert s is not None, sid
+        structures.append(s)
+    print(f'parsed {len(structures)} complexes', flush=True)
+
+    train_tfm = get_transform([
+        {'type': 'mask_single_cdr', 'augmentation': True},
+        {'type': 'merge_chains'},
+        {'type': 'patch_around_anchor', 'initial_patch_size': 96,
+         'antigen_size': 64},
+    ])
+    eval_tfm = get_transform([
+        {'type': 'mask_single_cdr', 'selection': 'CDR3', 'augmentation': False},
+        {'type': 'merge_chains'},
+        {'type': 'patch_around_anchor', 'initial_patch_size': 96,
+         'antigen_size': 64},
+    ])
+
+    rng = np.random.default_rng(0)
+    collate = PaddingCollate(buckets=(96, 128, 160, 192))
+
+    def make_batch(r):
+        items = []
+        for _ in range(args.batch):
+            s = structures[int(r.integers(len(structures)))]
+            items.append(train_tfm(copy.deepcopy(s), rng=r))
+        return collate(items)
+
+    eval_items = [eval_tfm(copy.deepcopy(s), rng=np.random.default_rng(1))
+                  for s in structures]
+
+    model = DiffAb(DiffAbConfig(
+        res_feat_dim=64, pair_feat_dim=32, num_layers=3, num_steps=50,
+        num_bins=16, dtype='bfloat16'))
+    train_cfg = {
+        'loss_weights': {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
+                         'prmsd': 0.1},
+        'max_iters': args.steps, 'val_freq': args.eval_every,
+        'batch_size': args.batch, 'max_grad_norm': 100.0,
+        'optimizer': {'type': 'adam', 'lr': 1e-4},
+        'scheduler': {'type': 'plateau', 'factor': 0.8, 'patience': 8,
+                      'min_lr': 1e-5},
+    }
+    trainer = Trainer(model, train_cfg, log_dir=args.out,
+                      full_config={'model': {'type': 'diffab'}})
+    trainer.init_params(make_batch(rng), seed=0)
+
+    metrics_path = os.path.join(args.out, 'metrics.jsonl')
+    t0 = time.time()
+    with open(metrics_path, 'w') as mf:
+        def train_iter():
+            r = np.random.default_rng(7)
+            while True:
+                yield make_batch(r)
+
+        def on_step(it, losses):
+            if it % 100 == 0:
+                rec = {'it': it, 'wall_s': round(time.time() - t0, 1),
+                       **{k: round(v, 4) for k, v in losses.items()}}
+                mf.write(json.dumps(rec) + '\n')
+                mf.flush()
+                print(rec, flush=True)
+
+        val_batches = [collate([it]) for it in eval_items]
+        trainer.train(train_iter(), val_loader=val_batches,
+                      max_iters=args.steps, on_step=on_step,
+                      sampling_eval_items=eval_items,
+                      sampling_eval_samples=4)
+
+    # Final sampling eval with more samples.
+    from ab_opt_tpu.train.sampling_eval import evaluate_samples
+    final = evaluate_samples(model, trainer.params, eval_items,
+                             jax.random.key(123), num_samples=8,
+                             out_dir=os.path.join(args.out, 'final_eval'))
+    print('FINAL', json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                               for k, v in final.items()}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

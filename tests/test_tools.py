@@ -118,3 +118,40 @@ def test_hdock_gating():
     from ab_opt_tpu.tools.hdock import HDockAntibody
     with pytest.raises(RuntimeError):
         HDockAntibody()
+
+
+def test_screening_analysis(tmp_path):
+    """Analysis walkthrough (examples/ab_opt_analysis.py): screening_df,
+    sequence logo, quantile filter (ref ab_opt.ipynb cells 4-10)."""
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / 'examples'))
+    import ab_opt_analysis as A
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        d = tmp_path / f'cand{i}' 
+        d.mkdir()
+        dockq = [round(float(x), 3) for x in rng.uniform(0.2, 0.8, 5)]
+        prmsd = [round(float(x), 3) for x in rng.uniform(2, 9, 5)]
+        (d / 'results.csv').write_text(
+            ',DockQ_mean,DockQ_std,prmsd_mean,prmsd_std,AAR_mean,'
+            'DockQ_all,prmsd_all\n'
+            f'H_CDR3,{np.mean(dockq):.3f},{np.std(dockq):.3f},'
+            f'{np.mean(prmsd):.3f},{np.std(prmsd):.3f},0.4,'
+            f'"{dockq}","{prmsd}"\n')
+        (d / 'aa.csv').write_text(
+            'Region,native_aa,sampled_aa,AAR,PPL\n'
+            f'H_CDR3,YCARDLGI,{"ACDEFGHI" if i % 2 else "YCARDLGI"},0.5,0.1\n')
+
+    df = A.main(['--screen_dir', str(tmp_path)])
+    assert len(df) == 4
+    assert np.isfinite(df['DockQ_avg']).all()
+    out = tmp_path / 'analysis'
+    assert (out / 'screening_df.csv').exists()
+    assert (out / 'sequence_logo.csv').exists()
+    assert (out / 'sequence_logo.png').exists()
+    assert (out / 'screening_distributions.png').exists()
+    assert (out / 'mutation_candidates.csv').exists()
+    counts = A.aa_counts(df['aa'])
+    assert counts.shape == (8, 20) and counts.sum() == 32
