@@ -22,6 +22,9 @@ from .so3 import (
     random_uniform_so3,
     quaternion_to_rotation_matrix,
     quaternion_1ijk_to_rotation_matrix,
+    so3vec_to_quaternion,
+    quaternion_mul,
+    quaternion_to_so3vec,
 )
 from .frames import (
     construct_3d_basis,

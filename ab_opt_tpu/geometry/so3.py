@@ -98,6 +98,47 @@ def quaternion_1ijk_to_rotation_matrix(v):
     return rows.reshape(v.shape[:-1] + (3, 3))
 
 
+def so3vec_to_quaternion(w):
+    """Axis-angle (..., 3) -> unit quaternion (..., 4) [w, x, y, z].
+
+    NOTE: this codebase's skew/exp convention (so3vec_to_skewsym) is the
+    TRANSPOSE of the standard axis-angle rotation, so the matching
+    quaternion is the conjugate of the textbook formula (negated vector
+    part). With both helpers in this conjugate algebra, Hamilton products
+    compose in the same left-to-right order as the matrix products:
+    R(a) @ R(b) == R(quaternion_mul(q(a), q(b))).
+    """
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    axis = w / (theta + 1e-12)
+    half = 0.5 * theta
+    return jnp.concatenate([jnp.cos(half), -jnp.sin(half) * axis], axis=-1)
+
+
+def quaternion_mul(a, b):
+    """Hamilton product of quaternions (..., 4) [w, x, y, z]."""
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def quaternion_to_so3vec(q):
+    """Unit quaternion (..., 4) -> axis-angle (..., 3), theta in [0, pi].
+
+    Mirrors log_rotation's convention (shortest rotation): the sign of q is
+    flipped to w >= 0 first (q and -q are the same rotation).
+    """
+    q = jnp.where(q[..., :1] < 0, -q, q)
+    vec = -q[..., 1:]                    # conjugate convention; see above
+    n = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    theta = 2.0 * jnp.arctan2(n, q[..., :1])
+    return vec / (n + 1e-12) * theta
+
+
 def random_uniform_so3(key, shape, dtype=jnp.float32):
     """Uniform random rotations as so3 vectors, shape ``shape + (3,)``."""
     q = normalize_vector(jax.random.normal(key, tuple(shape) + (4,), dtype=dtype))

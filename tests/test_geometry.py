@@ -251,3 +251,24 @@ class TestGoldenParity:
         for aa in range(20):
             assert (constants.restype_to_heavyatom_names[constants.AA(aa)]
                     == ref_c.restype_to_heavyatom_names[ref_c.AA(aa)])
+
+
+def test_quaternion_compose_matches_matrix(rng):
+    """quaternion_mul/so3vec<->quaternion reproduce matrix composition
+    (the rotation transition's quaternion-space reverse step)."""
+    from ab_opt_tpu.geometry import (quaternion_mul, quaternion_to_so3vec,
+                                     rotation_to_so3vec, so3vec_to_quaternion,
+                                     so3vec_to_rotation)
+    a = jnp.asarray(rng.normal(size=(64, 3)) * 1.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64, 3)) * 1.2, jnp.float32)
+    ref = rotation_to_so3vec(
+        jnp.matmul(so3vec_to_rotation(a), so3vec_to_rotation(b),
+                   precision='highest'))
+    got = quaternion_to_so3vec(
+        quaternion_mul(so3vec_to_quaternion(a), so3vec_to_quaternion(b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+    # Round trip + zero rotation.
+    zero = jnp.zeros((4, 3))
+    np.testing.assert_allclose(
+        np.asarray(quaternion_to_so3vec(so3vec_to_quaternion(zero))), 0.0)
