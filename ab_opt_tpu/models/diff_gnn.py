@@ -227,7 +227,9 @@ class DiffGNN:
          hyd, chg) = static
         v_t, p_t, t_res = state
         noised_coord = self._noised_coord(coord_n, p_t, v_t, gen)
-        condition = self.trans_pos.sched.betas[t_res]
+        # t_res may be scalar (sampling fast path) or (N, L) (training).
+        condition = jnp.broadcast_to(self.trans_pos.sched.betas[t_res],
+                                     gen.shape)
         rngs = {} if deterministic else {'dropout': key}
         aa_logits, z = self.net.apply(
             params, res_feat, noised_coord, ctx_adj, inter_adj, condition,
@@ -325,27 +327,24 @@ class DiffGNN:
         N, LL = gen.shape
 
         def step(carry, ts):
+            # ``t`` stays SCALAR: schedule tables are read once per step and
+            # broadcast (see DiffAb._reverse_scan for the measurements).
             t, t_next = ts
             v_t, p_t, s_t, key = carry
             key, k_rd, k_pd = jax.random.split(key, 3)
-            t_res = jnp.broadcast_to(jnp.full((N,), t, jnp.int32)[:, None],
-                                     (N, LL))
             aa_logits, z, R_pred, p0_pred = self._denoiser(
-                params, (v_t, p_t, t_res), static)
+                params, (v_t, p_t, t), static)
             v_next = rotation_to_so3vec(R_pred)
             if stride == 1:
-                v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen, t_res)
+                v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen, t)
                 p_new = self.trans_pos.denoise_from_p0(k_pd, p_t, p0_pred,
-                                                       gen, t_res)
+                                                       gen, t)
             else:
-                t_next_res = jnp.broadcast_to(
-                    jnp.full((N,), t_next, jnp.int32)[:, None], (N, LL))
                 v_new = self.trans_rot.denoise(k_rd, v_t, v_next, gen,
-                                               t_next_res)
+                                               t_next)
                 eps_p = self.trans_pos.pred_noise_from_start(
-                    p_t, p0_pred, gen, t_res)
-                p_new = self.trans_pos.ddim_step(p_t, eps_p, gen, t_res,
-                                                 t_next_res)
+                    p_t, p0_pred, gen, t)
+                p_new = self.trans_pos.ddim_step(p_t, eps_p, gen, t, t_next)
             s_new = jnp.where(gen, aa_logits.argmax(-1), s_t)
             if not sample_structure:
                 v_new, p_new = v_t, p_t
