@@ -34,12 +34,20 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
-    from __graft_entry__ import _make_batch
     from ab_opt_tpu.models import DiffAb, DiffAbConfig
+    from ab_opt_tpu.utils.bench_fixture import (real_complex_batch,
+                                                synthetic_batch)
 
     # Production serving config: bf16 compute, fused pallas IPA on TPU.
     model = DiffAb(DiffAbConfig(dtype='bfloat16'))
-    batch = _make_batch(N=1, L=L)
+    # Real cropped 7DK2 complex through the production pipeline; synthetic
+    # fallback keeps the bench runnable without the reference examples.
+    batch = real_complex_batch(L=L)
+    if batch is None:
+        import numpy as np
+        batch = synthetic_batch(np.random.default_rng(0), N=1, L=L,
+                                n_ab=int(L * 0.7), gen_lo=L // 4,
+                                gen_hi=L // 4 + 8)
     params = model.init(jax.random.key(0), batch)
 
     def throughput(num_replicas, iters=ITERS):
