@@ -190,14 +190,15 @@ def _fused_attention_fwd(interpret, reps, qa, ka, vvp, bias):
 
 
 def _fused_attention_bwd(interpret, reps, res, cts):
-    if reps != 1:
-        raise NotImplementedError(
-            'replica-shared pair bias is a sampling-path optimization; '
-            'training (grads) must use reps=1')
     qa, ka, vvp, alphas = res
     dout, dalphas = cts
     dqa, dka, dvvp, dbias = _attention_bwd_call(
         qa, ka, vvp, alphas, dout, dalphas, interpret)
+    if reps != 1:
+        # Forward shares the per-complex bias across replicas (b_spec index
+        # n // reps); the cotangent therefore sums over the replica axis.
+        N, H, L, _ = dbias.shape
+        dbias = dbias.reshape(N // reps, reps, H, L, L).sum(axis=1)
     return dqa, dka, dvvp, dbias
 
 

@@ -110,6 +110,40 @@ class TestReplicaSharing:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
 
+    def test_reps_grad_matches_repeated_z(self, rng):
+        """VJP through the fused kernel with reps>1 equals autodiff through
+        the einsum reference with explicitly repeated z (VERDICT r2 #4: this
+        used to raise NotImplementedError)."""
+        reps, Nc, L = 4, 1, 16
+        inp = _rand_inputs(rng, N=Nc * reps, L=L)
+        z_c = inp['z'][:Nc]
+        mask = jnp.repeat(jnp.ones((Nc, L)).at[0, -3:].set(0), reps, axis=0)
+        names = ('q', 'k', 'qp', 'kp', 'v', 'vp')
+
+        def loss_fused(args, z):
+            kw = dict(zip(names, args))
+            outs = fused_ipa_from_flat(
+                **kw, z=z, pair_w=inp['pair_w'], coef=inp['coef'],
+                mask=mask, reps=reps, interpret=True)
+            return sum(jnp.sum(o * o) for o in outs)
+
+        def loss_ref(args, z):
+            kw = dict(zip(names, args))
+            outs = ipa_attention_reference(
+                **kw, z=z, pair_w=inp['pair_w'], coef=inp['coef'], mask=mask)
+            return sum(jnp.sum(o * o) for o in outs)
+
+        args = tuple(inp[n] for n in names)
+        g_fused, gz_fused = jax.grad(loss_fused, argnums=(0, 1))(args, z_c)
+        g_ref, gz_ref = jax.grad(loss_ref, argnums=(0, 1))(
+            args, jnp.repeat(z_c, reps, axis=0))
+        gz_ref = gz_ref.reshape(Nc, reps, L, L, -1).sum(axis=1)
+        for a, b, name in zip(g_fused, g_ref, names):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(gz_fused), np.asarray(gz_ref),
+                                   atol=3e-4, err_msg='z')
+
     def test_gablock_reps_einsum_path(self, rng):
         """Einsum path with shared z == einsum path with repeated z."""
         from ab_opt_tpu.nn.ipa import GABlock
