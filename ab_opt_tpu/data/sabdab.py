@@ -313,6 +313,13 @@ class SAbDabDataset:
     # ---------------------------------------------------------------- split
 
     def _load_split(self, split, split_seed):
+        # The wet-experiment config (AbDock/configs/train/
+        # dock_single_wet_experiment.yml) names *_4_wet_experiment splits
+        # that the reference's own dataset never implements
+        # (AbDock/src/datasets/sabdab.py:450 asserts the four base names);
+        # accept them as documented aliases so the config is runnable.
+        split = {'train_4_wet_experiment': 'train',
+                 'val_4_wet_experiment': 'val'}.get(split, split)
         assert split in ('train', 'val', 'test', 'dock_test')
         ids_test = [e['id'] for e in self.sabdab_entries
                     if e['ag_name'] in TEST_ANTIGENS]

@@ -1,0 +1,84 @@
+"""Config-matrix coverage: EVERY shipped yml runs through its real CLI.
+
+Each train config goes argparse -> load_config -> dataset registry ->
+Trainer for one optimization step on the mini-SAbDab; each test config goes
+argparse -> load_config -> design_for_pdb on the 7DK2 example. Model dims
+and sample counts are patched down to test size (the full dims are the
+production surface; this tier checks the configs wire up end to end).
+"""
+import pathlib
+
+import pytest
+import yaml
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+EXAMPLES = pathlib.Path('/root/reference/AbDock/data/examples')
+PDB = EXAMPLES / '7DK2_AB_C.pdb'
+
+TRAIN_CFGS = sorted((REPO / 'configs' / 'train').glob('*.yml'))
+TEST_CFGS = sorted((REPO / 'configs' / 'test').glob('*.yml'))
+
+pytestmark = pytest.mark.e2e
+
+
+def _shrink_model(m):
+    """Scale production model dims down to test size, preserving topology."""
+    if m.get('type', 'diffab') == 'diff_gnn':
+        m.update(res_feat_dim=16, edge_feat_dim=8, hidden_size=16,
+                 num_steps=3, n_layers=1)
+    else:
+        m.update(res_feat_dim=16, pair_feat_dim=8)
+        if 'num_bins' in m:
+            m['num_bins'] = 8
+        diff = m.setdefault('diffusion', {})
+        diff['num_steps'] = 4
+        diff.setdefault('eps_net_opt', {})['num_layers'] = 1
+
+
+@pytest.mark.parametrize('cfg_path', TRAIN_CFGS, ids=lambda p: p.stem)
+def test_train_config_one_step(cfg_path, mini_sabdab, tmp_path):
+    raw = yaml.safe_load(cfg_path.read_text())
+    _shrink_model(raw['model'])
+    raw['train']['batch_size'] = 2
+    raw['train']['val_freq'] = 10_000          # no mid-run validation
+    for split in ('train', 'val'):
+        d = raw['dataset'][split]
+        d['summary_path'] = str(mini_sabdab / 'summary.tsv')
+        d['chothia_dir'] = str(mini_sabdab / 'chothia')
+        d['processed_dir'] = str(mini_sabdab / 'processed')
+        # Mini-SAbDab has <=20 train/val entries; everything lands in 'val'
+        # (val = first 20), so point both splits there (aliases included).
+        d['split'] = 'val_4_wet_experiment' if 'wet' in d['split'] else 'val'
+    patched = tmp_path / cfg_path.name
+    patched.write_text(yaml.safe_dump(raw))
+
+    from ab_opt_tpu.runners.train_cli import main
+    trainer = main(['--config', str(patched),
+                    '--logdir', str(tmp_path / 'logs'), '--max_iters', '1'])
+    assert trainer.iteration == 1
+    logdirs = list((tmp_path / 'logs').iterdir())
+    assert logdirs and (logdirs[0] / cfg_path.name).exists()
+
+
+@pytest.mark.skipif(not PDB.exists(), reason='examples unavailable')
+@pytest.mark.parametrize('cfg_path', TEST_CFGS, ids=lambda p: p.stem)
+def test_test_config_design_cli(cfg_path, tmp_path, capsys):
+    raw = yaml.safe_load(cfg_path.read_text())
+    _shrink_model(raw['model'])
+    sampling = raw.setdefault('sampling', {})
+    # One CDR variant and, for abopt mode, one short optimization round.
+    if 'cdrs' in sampling:
+        sampling['cdrs'] = sampling['cdrs'][:1]
+    if 'optimize_steps' in sampling:
+        sampling['optimize_steps'] = [2]
+    patched = tmp_path / cfg_path.name
+    patched.write_text(yaml.safe_dump(raw))
+
+    from ab_opt_tpu.runners.design_cli import main
+    results = main(['--pdb_path', str(PDB), '--config', str(patched),
+                    '--heavy', 'A', '--light', 'B',
+                    '-n', '2', '-b', '2', '--no_dockq',
+                    '-o', str(tmp_path / 'out'), '-s', '0'])
+    assert results, f'no variants produced for {cfg_path.name}'
+    for summ in results.values():
+        assert 'AAR_mean' in summ

@@ -1,7 +1,6 @@
 """SAbDab dataset tests using a fabricated mini-SAbDab built from the
 reference's example chothia PDBs."""
 import pathlib
-import shutil
 
 import numpy as np
 import pytest
@@ -16,38 +15,12 @@ from ab_opt_tpu.data.sabdab import (
 
 EXAMPLES = pathlib.Path('/root/reference/AbDock/data/examples')
 
-ROWS = [
-    # pdb, H, L, ag_chain, ag_type, ag_name, date, resolution
-    ('7dk2', 'A', 'B', 'C', 'protein', 'sars-cov-2 receptor binding domain',
-     '01/01/21', '2.5'),
-    ('5mes', 'H', 'L', 'A', 'protein', 'some antigen', '01/01/17', '3.0'),
-    ('7bsd', 'A', 'B', 'G', 'protein', 'another antigen', '02/02/21', '2.0'),
-]
-
-SRC = {
-    '7dk2': EXAMPLES / '7DK2_AB_C_chothia.pdb',
-    '5mes': EXAMPLES / '5mes_H_L_A_chothia.pdb',
-    '7bsd': EXAMPLES / '7bsd_A_B_G_chothia.pdb',
-}
-
 pytestmark = pytest.mark.skipif(not EXAMPLES.exists(),
                                 reason='examples unavailable')
 
 
-@pytest.fixture(scope='module')
-def mini_sabdab(tmp_path_factory):
-    root = tmp_path_factory.mktemp('sabdab')
-    chothia = root / 'chothia'
-    chothia.mkdir()
-    for code, src in SRC.items():
-        shutil.copy(src, chothia / f'{code}.pdb')
-    tsv = root / 'summary.tsv'
-    header = 'pdb\tHchain\tLchain\tmodel\tantigen_chain\tantigen_type\tantigen_het_name\tantigen_name\tdate\tresolution\tmethod\tscfv\n'
-    lines = [header]
-    for pdb, h, l, ag, agt, agn, date, res in ROWS:
-        lines.append(f'{pdb}\t{h}\t{l}\t0\t{ag}\t{agt}\tNA\t{agn}\t{date}\t{res}\tX-RAY\tFalse\n')
-    tsv.write_text(''.join(lines))
-    return root
+# The `mini_sabdab` fixture (session-scoped) lives in conftest.py so the
+# config-matrix tests (test_configs.py) share the same processed cache.
 
 
 def test_resolution_parsing():
