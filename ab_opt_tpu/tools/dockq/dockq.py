@@ -12,8 +12,12 @@ Reimplementation of the reference's ``AbDock/DockQ/DockQ.py:98-380`` +
   plain rms of ligand atoms;
 * DockQ = (fnat + 1/(1+(irms/1.5)^2) + 1/(1+(Lrms/8.5)^2)) / 3.
 
-The model/native structures must be two-chain-group complexes with matching
-residue numbering (the runners' saved CDR+antigen patches are).
+Residue correspondence: keys are (chain, resseq, icode). When the model and
+native numbering disagree (externally-produced poses), ``align_numbering``
+rebuilds the correspondence by per-chain BLOSUM62 global alignment — the
+semantics of the reference's ``DockQ/scripts/fix_numbering.pl`` (needle) and
+``DockQ/DockQ.py:461`` main, without the perl/EMBOSS dependency. The default
+``'auto'`` aligns only when direct key matching looks wrong.
 """
 from __future__ import annotations
 
@@ -150,13 +154,111 @@ def _chain_groups(chain_ids_model: Sequence[str]) -> Dict[str, int]:
     return {c: (0 if c == uniq[0] else 1) for c in uniq}
 
 
+def _chain_seq_indices(data) -> Dict[str, List[int]]:
+    """Residue indices per chain, in file order."""
+    out: Dict[str, List[int]] = {}
+    for i, c in enumerate(data['chain_id']):
+        out.setdefault(c, []).append(i)
+    return out
+
+
+def _numbering_matches(model, native) -> bool:
+    """True when direct (chain, resseq, icode) matching is trustworthy:
+    most native residues are present in the model under the same key AND
+    carry the same amino acid there."""
+    keys_m = {}
+    for i in range(len(model['aa'])):
+        k = (model['chain_id'][i], int(model['resseq'][i]), model['icode'][i])
+        keys_m[k] = int(model['aa'][i])
+    shared = same = 0
+    for i in range(len(native['aa'])):
+        k = (native['chain_id'][i], int(native['resseq'][i]),
+             native['icode'][i])
+        if k in keys_m:
+            shared += 1
+            same += int(keys_m[k] == int(native['aa'][i]))
+    n_nat = max(len(native['aa']), 1)
+    return shared / n_nat >= 0.8 and same / max(shared, 1) >= 0.9
+
+
+def _align_model_numbering(model, native):
+    """Rewrite the model's residue keys to the native's via per-chain global
+    sequence alignment (fix_numbering.pl semantics).
+
+    Chains are paired by id when the chain sets match, otherwise greedily by
+    alignment score. Model residues without an aligned native partner get
+    sentinel keys (never matching a native key) so they still contribute
+    non-native contacts to fnonnat.
+    """
+    from ...metrics import global_align_pairs
+
+    model = dict(model)
+    chains_m = _chain_seq_indices(model)
+    chains_n = _chain_seq_indices(native)
+
+    if set(chains_m) == set(chains_n):
+        pairing = [(c, c) for c in chains_m]
+    else:
+        scored = []
+        for cm_id, idx_m in chains_m.items():
+            for cn_id, idx_n in chains_n.items():
+                _, score = global_align_pairs(model['aa'][idx_m],
+                                              native['aa'][idx_n])
+                scored.append((score, cm_id, cn_id))
+        scored.sort(reverse=True)
+        pairing, used_m, used_n = [], set(), set()
+        for _, cm_id, cn_id in scored:
+            if cm_id in used_m or cn_id in used_n:
+                continue
+            pairing.append((cm_id, cn_id))
+            used_m.add(cm_id)
+            used_n.add(cn_id)
+
+    chain_id = list(model['chain_id'])
+    resseq = np.array(model['resseq'], np.int64, copy=True)
+    icode = list(model['icode'])
+    sentinel = -100000
+    matched = np.zeros(len(chain_id), bool)
+    for cm_id, cn_id in pairing:
+        idx_m, idx_n = chains_m[cm_id], chains_n[cn_id]
+        pairs, _ = global_align_pairs(model['aa'][idx_m], native['aa'][idx_n])
+        for i_m, j_n in pairs:
+            gi, gj = idx_m[i_m], idx_n[j_n]
+            chain_id[gi] = native['chain_id'][gj]
+            resseq[gi] = int(native['resseq'][gj])
+            icode[gi] = native['icode'][gj]
+            matched[gi] = True
+    for i in np.nonzero(~matched)[0]:
+        resseq[i] = sentinel - int(i)
+    model['chain_id'] = np.asarray(chain_id, dtype=model['chain_id'].dtype) \
+        if isinstance(model['chain_id'], np.ndarray) else chain_id
+    model['resseq'] = resseq
+    model['icode'] = np.asarray(icode, dtype=model['icode'].dtype) \
+        if isinstance(model['icode'], np.ndarray) else icode
+    return model
+
+
 def calc_dockq(model_path: str, native_path: str,
-               use_ca_only: bool = False) -> Dict[str, float]:
-    """DockQ between a model and native complex (paths or pdb text)."""
+               use_ca_only: bool = False,
+               align_numbering='auto') -> Dict[str, float]:
+    """DockQ between a model and native complex (paths or pdb text).
+
+    ``align_numbering``: True forces sequence-alignment-based residue
+    correspondence, False trusts (chain, resseq, icode) keys, 'auto'
+    (default) aligns only when direct matching looks wrong.
+    """
     model, _ = parse_pdb(model_path, is_text='\n' in model_path)
     native, _ = parse_pdb(native_path, is_text='\n' in native_path)
 
-    groups = _chain_groups(model['chain_id'])
+    if align_numbering is True or (
+            align_numbering == 'auto'
+            and not _numbering_matches(model, native)):
+        model = _align_model_numbering(model, native)
+
+    # Group from the native's chain order; chains only in the model (none
+    # after alignment) fall into the 'rest' group.
+    groups = _chain_groups(list(native['chain_id'])
+                           + list(model['chain_id']))
     cm = _Complex(model, groups)
     cn = _Complex(native, groups)
 

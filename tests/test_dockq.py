@@ -98,6 +98,40 @@ class TestDockQ:
         res2 = calc_dockq(str(p), str(p), use_ca_only=True)
         assert np.isfinite(res2['DockQ'])
 
+    def test_renumbered_model_scores_like_matched(self, two_chain_pdb):
+        """Scoring a model whose residue numbering disagrees with the native
+        must equal the matched-numbering score via sequence-alignment
+        correspondence (semantics of DockQ/scripts/fix_numbering.pl;
+        VERDICT r2 #5)."""
+        data, native, tmp = two_chain_pdb
+        # Perturb the pose slightly so scores are non-trivial (< 1.0).
+        pert = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                for k, v in data.items()}
+        is_ab = np.asarray([c == 'A' for c in data['chain_id']])
+        pert['pos_heavyatom'] = data['pos_heavyatom'].copy()
+        pert['pos_heavyatom'][is_ab] += np.float32(2.0)
+        p_matched = tmp / 'renum_matched.pdb'
+        save_pdb(pert, str(p_matched))
+        base = calc_dockq(str(p_matched), str(native), use_ca_only=True)
+        assert 0.0 < base['DockQ'] < 1.0
+
+        # Same pose with shifted residue numbers AND renamed chains.
+        renum = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                 for k, v in pert.items()}
+        renum['resseq'] = np.asarray(pert['resseq']) + 500
+        renum['chain_id'] = ['X' if c == 'A' else 'Y'
+                             for c in pert['chain_id']]
+        p_renum = tmp / 'renum_shifted.pdb'
+        save_pdb(renum, str(p_renum))
+
+        got = calc_dockq(str(p_renum), str(native), use_ca_only=True)
+        for key in ('DockQ', 'fnat', 'irms', 'Lrms'):
+            assert got[key] == pytest.approx(base[key], abs=1e-6), key
+        # Forcing key-trust on the renumbered model must NOT match.
+        broken = calc_dockq(str(p_renum), str(native), use_ca_only=True,
+                            align_numbering=False)
+        assert broken['fnat'] == 0.0
+
     def test_rigid_motion_of_whole_complex_is_perfect(self, two_chain_pdb):
         """A global rigid transform must not change DockQ (alignment-based)."""
         data, native, tmp = two_chain_pdb
