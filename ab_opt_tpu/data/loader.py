@@ -1,9 +1,11 @@
 """Minimal host-side data loader (torch-free).
 
-Replaces the reference's torch DataLoader(num_workers=8) with a
-thread-prefetched iterator: transforms are numpy-only and release the GIL in
-BLAS calls, and batches are small, so thread prefetch overlaps host work with
-device steps without multiprocessing complexity.
+Replaces the reference's torch DataLoader(num_workers=8, AbDock/train.py:58-65)
+with a thread-prefetched iterator plus an optional fork-based process pool:
+``num_workers=0`` fetches+transforms in the prefetch thread (numpy transforms
+release the GIL in BLAS calls); ``num_workers>0`` fans item fetch+transform
+out to worker processes — needed when the per-item O(L^2) transform work
+(PatchAroundAnchor distance matrices) would otherwise starve the chip.
 """
 from __future__ import annotations
 
@@ -15,12 +17,35 @@ import numpy as np
 
 from .transforms import DISTVIOLATION
 
+_worker_state: dict = {}
+
+
+def _pool_init(dataset, seed):
+    _worker_state['dataset'] = dataset
+    _worker_state['seed'] = seed
+
+
+def _pool_fetch(idx: int, max_retries: int = 32):
+    """Worker-side safe getitem (DISTVIOLATION resampling, sabdab.py:502-512)."""
+    ds = _worker_state['dataset']
+    rng = np.random.default_rng((_worker_state['seed'], idx))
+    n = len(ds)
+    for _ in range(max_retries):
+        try:
+            item = ds[idx]
+        except DISTVIOLATION:
+            item = None
+        if item is not None:
+            return item
+        idx = (idx + int(rng.integers(1, 16))) % n
+    raise RuntimeError('Too many consecutive data violations.')
+
 
 class DataLoader:
     def __init__(self, dataset: Sequence, batch_size: int,
                  collate_fn: Callable, shuffle: bool = True,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -28,6 +53,31 @@ class DataLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
+        self._pool = None
+        self._seed = seed
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing
+            # forkserver: workers fork from a clean server process, not from
+            # this (JAX-multithreaded) one — fork here can deadlock. Requires
+            # the dataset to be picklable (it is: numpy arrays + transforms).
+            ctx = multiprocessing.get_context('forkserver')
+            self._pool = ctx.Pool(self.num_workers, initializer=_pool_init,
+                                  initargs=(self.dataset, self._seed))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -56,7 +106,11 @@ class DataLoader:
             idxs = order[lo:lo + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 break
-            items = [self._safe_getitem(int(i)) for i in idxs]
+            if self.num_workers > 0:
+                items = self._get_pool().map(_pool_fetch,
+                                             [int(i) for i in idxs])
+            else:
+                items = [self._safe_getitem(int(i)) for i in idxs]
             yield self.collate_fn(items)
 
     def __iter__(self):

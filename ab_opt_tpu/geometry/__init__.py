@@ -19,6 +19,13 @@ from .so3 import (
     log_rotation,
     so3vec_to_rotation,
     rotation_to_so3vec,
+    planar_from_matrix,
+    planar_to_matrix,
+    so3vec_to_rotation_planar,
+    planar_rotation_to_so3vec,
+    quaternion_1ijk_to_rotation_planar,
+    planar_compose,
+    planar_apply_to_vector,
     random_uniform_so3,
     quaternion_to_rotation_matrix,
     quaternion_1ijk_to_rotation_matrix,

@@ -119,11 +119,11 @@ class DiffAbNet(nn.Module):
         return res_feat, pair_feat, R, p
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                     mask_generate, mask_res, pair_biases=None, aug_mats=None,
+                     mask_generate, mask_res, pair_biases=None, fast_weights=None,
                      use_pallas=None, reps: int = 1, fused_encoder_fn=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
-                            aug_mats=aug_mats, use_pallas=use_pallas,
+                            fast_weights=fast_weights, use_pallas=use_pallas,
                             reps=reps, fused_encoder_fn=fused_encoder_fn)
 
     def __call__(self, batch):
@@ -278,9 +278,9 @@ class DiffAb:
         # the fused pallas path (one einsum per layer per complex instead of
         # per step). The einsum path computes the bias inline (XLA fusion
         # measured faster than reading a hoisted (N, L, L, H) tensor).
-        pair_biases = aug_mats = fused_fn = None
+        pair_biases = fast_weights = fused_fn = None
         if self._use_pallas:
-            from ..nn.ipa import (precompute_encoder_aug_mats,
+            from ..nn.ipa import (precompute_encoder_fast_weights,
                                   precompute_encoder_pair_biases)
             enc_params = params['params']['eps_net']['encoder']
             pair_biases = precompute_encoder_pair_biases(
@@ -304,7 +304,7 @@ class DiffAb:
                     bundles, R, t, x, z_c, pair_biases, m, reps=reps,
                     interpret=interp)
             else:
-                aug_mats = precompute_encoder_aug_mats(
+                fast_weights = precompute_encoder_fast_weights(
                     enc_params, self.cfg.num_layers,
                     dtype=self.cfg.compute_dtype)
 
@@ -320,7 +320,7 @@ class DiffAb:
 
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                mask_generate, mask_res, pair_biases, aug_mats, None, reps,
+                mask_generate, mask_res, pair_biases, fast_weights, None, reps,
                 fused_fn, method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)

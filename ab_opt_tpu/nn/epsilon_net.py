@@ -17,10 +17,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..geometry import (
-    apply_rotation_to_vector,
-    quaternion_1ijk_to_rotation_matrix,
-    rotation_to_so3vec,
-    so3vec_to_rotation,
+    planar_apply_to_vector,
+    planar_compose,
+    planar_rotation_to_so3vec,
+    planar_to_matrix,
+    quaternion_1ijk_to_rotation_planar,
+    so3vec_to_rotation_planar,
 )
 from .ipa import GAEncoder
 from .layers import MLP, PerResiduePredictor
@@ -39,7 +41,7 @@ class EpsilonNet(nn.Module):
 
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
-                 mask_generate, mask_res, pair_biases=None, aug_mats=None,
+                 mask_generate, mask_res, pair_biases=None, fast_weights=None,
                  use_pallas=None, reps: int = 1, fused_encoder_fn=None):
         """
         Args:
@@ -55,7 +57,10 @@ class EpsilonNet(nn.Module):
         """
         N, L = mask_res.shape
         F = self.res_feat_dim
-        R = so3vec_to_rotation(v_t)
+        # Rotations stay PLANAR (tuple of 9 (N, L) components) through the
+        # whole step: (N, L, 3, 3) tensors tile terribly on TPU (component
+        # extraction + 3x3 matmuls measured ~0.37 ms/step; see PERF.md).
+        R9 = so3vec_to_rotation_planar(v_t)
 
         # Mix the current (noisy) sequence into the static residue features.
         seq_embed = nn.Embed(25, F, dtype=self.dtype, name='seq_embed')(s_t)
@@ -63,16 +68,16 @@ class EpsilonNet(nn.Module):
             jnp.concatenate([res_feat, seq_embed], axis=-1))
 
         if fused_encoder_fn is not None:
-            res_feat = fused_encoder_fn(R, p_t, res_feat, mask_res)
+            res_feat = fused_encoder_fn(R9, p_t, res_feat, mask_res)
         else:
             res_feat = GAEncoder(F, self.pair_feat_dim, self.num_layers,
                                  ga_block_opt=self.encoder_opt,
                                  dtype=self.dtype,
                                  use_pallas=self.use_pallas,
-                                 name='encoder')(R, p_t, res_feat, pair_feat,
+                                 name='encoder')(R9, p_t, res_feat, pair_feat,
                                                  mask_res,
                                                  pair_biases=pair_biases,
-                                                 aug_mats=aug_mats,
+                                                 fast_weights=fast_weights,
                                                  use_pallas=use_pallas,
                                                  reps=reps)
 
@@ -82,15 +87,18 @@ class EpsilonNet(nn.Module):
 
         # Position head: local-frame output rotated into the global frame.
         eps_crd = MLP((F, F, 3), dtype=self.dtype, name='eps_crd_net')(in_feat)
-        eps_pos = apply_rotation_to_vector(R, eps_crd)
+        eps_pos = planar_apply_to_vector(R9, eps_crd.astype(jnp.float32))
         eps_pos = jnp.where(mask_generate[..., None], eps_pos, 0.0)
 
-        # Rotation head: quaternion update composed with the current rotation.
+        # Rotation head: quaternion update composed with the current rotation
+        # (f32 components — orthogonality breaks in bf16).
         eps_rot = MLP((F, F, 3), dtype=self.dtype, name='eps_rot_net')(in_feat)
-        U = quaternion_1ijk_to_rotation_matrix(eps_rot)
-        R_next = jnp.matmul(R, U, precision=_HI_PREC)
-        v_next = rotation_to_so3vec(R_next)
+        U9 = quaternion_1ijk_to_rotation_planar(eps_rot.astype(jnp.float32))
+        Rn9 = planar_compose(R9, U9)
+        v_next = planar_rotation_to_so3vec(Rn9)
         v_next = jnp.where(mask_generate[..., None], v_next, v_t)
+        # Dense matrix only for the training loss path (DCE'd when sampling).
+        R_next = planar_to_matrix(Rn9)
 
         # Sequence head (softmaxed) and per-complex pRMSD confidence logits.
         c_denoised = nn.softmax(

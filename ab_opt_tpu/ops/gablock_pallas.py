@@ -298,7 +298,10 @@ def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
     per-layer head-major pair biases from precompute_encoder_pair_biases.
     """
     N, L = x.shape[:2]
-    R9 = R.reshape(N, L, 9).astype(jnp.float32)
+    if isinstance(R, (tuple, list)):               # planar rotation tuple
+        R9 = jnp.stack(R, axis=-1).astype(jnp.float32)
+    else:
+        R9 = R.reshape(N, L, 9).astype(jnp.float32)
     t = t.astype(jnp.float32)
     x = x.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)

@@ -341,6 +341,184 @@ def _value_matrix_np(H: int, Dv: int, PV3: int):
     return m
 
 
+# --------------------------------------------------------------------------- #
+# Fast-weights assembly: one GEMM per attention operand.
+#
+# The original pallas-path assembly ran, per layer: six projection dots
+# (q/k/v/qp/kp/vp), then dense (688, 768) augment GEMMs and a (672, 768)
+# value-packing GEMM whose matrices are ~99% zeros. Folding the q/k/v
+# projections INTO the scatter matrices (qa = [x | qp_g | sq] @ Sq + bias)
+# cuts the per-row MAC count ~40% and the dispatch count per layer from
+# ~10 dots to 4. The folded matrices depend only on layer parameters, so
+# samplers hoist them out of the reverse scan
+# (nn.ipa.precompute_encoder_fast_weights).
+# --------------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_layout(H: int, Dqk: int, P3: int, PV3: int, Dv: int):
+    """Constant index arrays for the fast scatter matrices."""
+    P, PV = P3 // 3, PV3 // 3
+    F_off = 0          # placeholder; x rows are handled by placement matmuls
+    # q/k placement: column h*_DA + d for head-major projection column.
+    pq = np.zeros((H * Dqk, H * _DA), np.float32)
+    for h in range(H):
+        for d in range(Dqk):
+            pq[h * Dqk + d, h * _DA + d] = 1.0
+    # v placement into _DV slots.
+    pv = np.zeros((H * Dv, H * _DV), np.float32)
+    for h in range(H):
+        for d in range(Dv):
+            pv[h * Dv + d, h * _DV + d] = 1.0
+    # qp/kp rows (planar-flat component-major) -> per-head point slots.
+    rows_p, cols_p = [], []
+    for h in range(H):
+        for c in range(3):
+            for p in range(P):
+                rows_p.append(c * H * P + h * P + p)
+                cols_p.append(h * _DA + Dqk + c * P + p)
+    # vp rows -> value point slots.
+    rows_vp, cols_vp = [], []
+    for h in range(H):
+        for c in range(3):
+            for p in range(PV):
+                rows_vp.append(c * H * PV + h * PV + p)
+                cols_vp.append(h * _DV + Dv + c * PV + p)
+    return (pq, pv, np.asarray(rows_p), np.asarray(cols_p),
+            np.asarray(rows_vp), np.asarray(cols_vp))
+
+
+def make_fast_weights(Wq, Wk, Wv, Wqp, Wkp, Wvp, coef, dtype):
+    """Fold projections + augment/packing into per-operand matrices.
+
+    Args: the six projection kernels (F, H*D) (point kernels planar
+    component-major, as stored) and the per-head spatial coefficient
+    ``coef`` (H,) (already includes the 1/sqrt(3)).
+    Returns dict:
+      w_pts (F, 3*(2*H*P + H*PV)): fused point projection, component-major
+        over the concatenated [qp | kp | vp] point sets;
+      s_q / s_k ((F + H*P3 + H), H*_DA): [x | qp_planar | sq] -> qa/ka;
+      bias_q / bias_k (H*_DA,): constant slot columns;
+      s_v ((F + H*PV3), H*_DV): [x | vp_planar] -> vvp.
+    """
+    F = Wq.shape[0]
+    H = coef.shape[-1]
+    Dqk = Wq.shape[1] // H
+    Dv = Wv.shape[1] // H
+    P3 = Wqp.shape[1] // H
+    PV3 = Wvp.shape[1] // H
+    P, PV = P3 // 3, PV3 // 3
+    HP, HPV = H * P, H * PV
+    pq, pv, rows_p, cols_p, rows_vp, cols_vp = _fast_layout(
+        H, Dqk, P3, PV3, Dv)
+    coef = jnp.asarray(coef, jnp.float32).reshape(H)
+    f32 = jnp.float32
+
+    # Fused point projection, component-major across the three sets:
+    # columns [c=0: qp | kp | vp][c=1: ...][c=2: ...].
+    w_pts = jnp.concatenate(
+        [jnp.concatenate([Wqp[:, c * HP:(c + 1) * HP],
+                          Wkp[:, c * HP:(c + 1) * HP],
+                          Wvp[:, c * HPV:(c + 1) * HPV]], axis=1)
+         for c in range(3)], axis=1)
+
+    s_node = _INV_SQRT3 / math.sqrt(Dqk)
+    head_of_p = jnp.asarray(cols_p // _DA, jnp.int32)
+
+    def qp_scatter(scales_per_head):
+        m = jnp.zeros((H * P3, H * _DA), f32)
+        return m.at[rows_p, cols_p].set(scales_per_head[head_of_p])
+
+    def sq_scatter(vals_per_head, col_off):
+        m = jnp.zeros((H, H * _DA), f32)
+        cols = np.asarray([h * _DA + col_off for h in range(H)])
+        return m.at[np.arange(H), cols].set(vals_per_head)
+
+    sq_col, one_col = Dqk + P3, Dqk + P3 + 1
+    s_q = jnp.concatenate([
+        (Wq.astype(f32) * s_node) @ jnp.asarray(pq),
+        qp_scatter(-2.0 * coef),
+        sq_scatter(coef, sq_col),
+    ], axis=0)
+    bias_q = jnp.zeros((H * _DA,), f32).at[
+        np.asarray([h * _DA + one_col for h in range(H)])].set(coef)
+
+    s_k = jnp.concatenate([
+        Wk.astype(f32) @ jnp.asarray(pq),
+        qp_scatter(jnp.ones((H,), f32)),
+        sq_scatter(jnp.ones((H,), f32), one_col),   # |kp|^2 in the one slot
+    ], axis=0)
+    bias_k = jnp.zeros((H * _DA,), f32).at[
+        np.asarray([h * _DA + sq_col for h in range(H)])].set(1.0)
+
+    s_v = jnp.concatenate([
+        Wv.astype(f32) @ jnp.asarray(pv),
+        jnp.zeros((H * PV3, H * _DV), f32).at[rows_vp, cols_vp].set(1.0),
+    ], axis=0)
+
+    return {
+        'w_pts': w_pts.astype(dtype),
+        's_q': s_q.astype(dtype), 's_k': s_k.astype(dtype),
+        'bias_q': bias_q.astype(dtype), 'bias_k': bias_k.astype(dtype),
+        's_v': s_v.astype(dtype),
+        'dims': (H, Dqk, Dv, P, PV),
+    }
+
+
+def fused_ipa_fast(x, R9, t, fast, z, mask, pair_bias, reps: int = 1,
+                   interpret: bool = False):
+    """GABlock attention via fast weights: x -> (p2n, node, pts_planar).
+
+    ``R9``: planar rotation (tuple of 9 (N, L) components); ``t``: (N, L, 3);
+    ``fast``: dict from :func:`make_fast_weights`; ``pair_bias``: head-major
+    per-complex bias from :func:`precompute_pair_bias`.
+    Returns the same triple as :func:`fused_ipa_from_flat` (points output
+    planar (N, L, 3, H*PV) for the caller's global->local rotation).
+    """
+    N, L = x.shape[:2]
+    H, Dqk, Dv, P, PV = fast['dims']
+    HP, HPV = H * P, H * PV
+    n_tot = 2 * HP + HPV
+    ct = x.dtype
+
+    pts = jnp.dot(x, fast['w_pts']).reshape(N, L, 3, n_tot)
+    R9c = tuple(r.astype(ct) for r in R9)
+    rc = lambda c, d: R9c[3 * c + d][..., None]
+    px, py, pz = pts[:, :, 0], pts[:, :, 1], pts[:, :, 2]
+    pts_g = jnp.stack(
+        [rc(c, 0) * px + rc(c, 1) * py + rc(c, 2) * pz
+         + t.astype(ct)[:, :, c:c + 1] for c in range(3)], axis=2)
+
+    qp = pts_g[..., :HP].reshape(N, L, 3 * HP)
+    kp = pts_g[..., HP:2 * HP].reshape(N, L, 3 * HP)
+    vp_g = pts_g[..., 2 * HP:]                       # (N, L, 3, HPV)
+
+    # Per-head |p|^2 for q/k sides via one pooling GEMM.
+    pool = jnp.asarray(_planar_pool_np(H, 3 * P), ct)
+    sq_qk = jnp.dot(jnp.stack([qp * qp, kp * kp], axis=2), pool)  # (N,L,2,H)
+
+    qa = jnp.dot(jnp.concatenate([x, qp, sq_qk[:, :, 0]], axis=-1),
+                 fast['s_q']) + fast['bias_q']
+    ka = jnp.dot(jnp.concatenate([x, kp, sq_qk[:, :, 1]], axis=-1),
+                 fast['s_k']) + fast['bias_k']
+    vvp = jnp.dot(
+        jnp.concatenate([x, vp_g.reshape(N, L, 3 * HPV)], axis=-1),
+        fast['s_v'])
+
+    out, alphas = _fused_attention(interpret, reps, qa, ka, vvp, pair_bias)
+    p2n = p2n_aggregate(alphas.astype(ct), z, reps)
+
+    out4 = out.reshape(N, L, H, _DV)
+    node = out4[..., :Dv].reshape(N, L, H * Dv)
+    # Per-head planar slots -> planar across heads (N, L, 3, H*PV).
+    pts_o = (out4[..., Dv:Dv + 3 * PV].reshape(N, L, H, 3, PV)
+             .transpose(0, 1, 3, 2, 4).reshape(N, L, 3, HPV))
+
+    rowm = mask.astype(ct)
+    p2n = (p2n * rowm[:, :, None, None]).reshape(N, L, -1)
+    return p2n, node * rowm[..., None], pts_o * rowm[:, :, None, None]
+
+
 def precompute_pair_bias(z, pair_w, mask, out_dtype=None):
     """Head-major pair-attention bias for the fused kernel.
 

@@ -78,9 +78,13 @@ def sharded_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
+    import functools
+
     import optax
 
-    @jax.jit
+    # Donating params/opt_state halves their device footprint (they are
+    # consumed and rebuilt every step). Ignored (with a warning) on CPU.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, key):
         (total, losses), grads = jax.value_and_grad(
             total_loss, has_aux=True)(params, batch, key)
@@ -91,6 +95,10 @@ def sharded_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         losses = dict(losses, overall=total)
+        # Device-side finite guard: the host polls this one scalar (possibly
+        # steps later) instead of materializing every loss each step.
+        losses['_finite'] = jnp.all(
+            jnp.stack([jnp.isfinite(v) for v in losses.values()]))
         return params, opt_state, losses
 
     def wrapped(params, opt_state, batch, key):

@@ -62,8 +62,10 @@ def main(argv=None):
 
     collate = PaddingCollate()
     batch_size = config['train']['batch_size']
+    num_workers = int(config['train'].get('num_workers', 0))
     train_loader = DataLoader(train_dataset, batch_size, collate_fn=collate,
-                              shuffle=True, seed=seed)
+                              shuffle=True, seed=seed,
+                              num_workers=num_workers)
     val_loader = DataLoader(val_dataset, batch_size, collate_fn=collate,
                             shuffle=False, seed=seed, prefetch=0)
 

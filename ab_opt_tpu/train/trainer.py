@@ -113,6 +113,8 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.iteration = 0
+        from collections import deque
+        self._pending_checks = deque()
 
         # wandb gated on the `wandb` env var, like the reference
         # (AbDock/train.py:35-37,116-119).
@@ -174,28 +176,49 @@ class Trainer:
     def train_step(self, batch_np: Dict, key) -> Dict[str, float]:
         return self._train_step_device(batch_np, to_device_batch(batch_np), key)
 
-    def _train_step_device(self, batch_np: Dict, batch: Dict, key
-                           ) -> Dict[str, float]:
+    def _train_step_device(self, batch_np: Dict, batch: Dict, key,
+                           defer_nan_check: bool = False) -> Dict:
+        """One optimizer step. Losses stay device-side (callers format/float
+        them at log time). The finite guard is a single device scalar; with
+        ``defer_nan_check`` the host checks it one step late so dispatch of
+        the next step is never blocked on the current one finishing (the
+        reference's per-step host check serialized the pipeline)."""
         self.params, self.opt_state, losses = self.step_fn(
             self.params, self.opt_state, batch, key)
-        losses = {k: float(v) for k, v in losses.items()}
+        finite = losses.pop('_finite')
         if self._wandb is not None:
-            self._wandb.log({f'train/{k}': v for k, v in losses.items()},
+            self._wandb.log({f'train/{k}': float(v) for k, v in losses.items()},
                             step=self.iteration)
-        if not all(np.isfinite(v) for v in losses.values()):
-            self._dump_nan_state(batch_np, losses)
-            raise FloatingPointError(f'Non-finite loss at it {self.iteration}: {losses}')
+        self._pending_checks.append(
+            (self.iteration, finite, batch_np, losses))
+        if not defer_nan_check:
+            self.flush_nan_checks()
+        else:
+            while len(self._pending_checks) > 1:
+                self._check_oldest()
         self.iteration += 1
         return losses
 
-    def _dump_nan_state(self, batch_np, losses):
+    def _check_oldest(self):
+        it, finite, batch_np, losses = self._pending_checks.popleft()
+        if not bool(finite):
+            losses = {k: float(v) for k, v in losses.items()}
+            self._dump_nan_state(batch_np, losses, iteration=it)
+            raise FloatingPointError(f'Non-finite loss at it {it}: {losses}')
+
+    def flush_nan_checks(self):
+        while self._pending_checks:
+            self._check_oldest()
+
+    def _dump_nan_state(self, batch_np, losses, iteration=None):
         """NaN guard: persist the offending batch + params (ref train.py:128-138)."""
         if not self.log_dir:
             return
-        path = os.path.join(self.log_dir, f'nan_dump_it{self.iteration}.pkl')
+        it = self.iteration if iteration is None else iteration
+        path = os.path.join(self.log_dir, f'nan_dump_it{it}.pkl')
         with open(path, 'wb') as f:
             pickle.dump({'batch': batch_np, 'losses': losses,
-                         'iteration': self.iteration}, f)
+                         'iteration': it}, f)
         logger.error('Non-finite loss; dumped state to %s', path)
 
     def validate(self, val_loader: Iterable, key) -> float:
@@ -283,7 +306,8 @@ class Trainer:
             if self.iteration + 1 < max_iters:
                 fetch()
             losses = self._train_step_device(
-                batch_np, batch_dev, jax.random.fold_in(key, self.iteration))
+                batch_np, batch_dev, jax.random.fold_in(key, self.iteration),
+                defer_nan_check=True)
             if on_step is not None:
                 on_step(self.iteration, losses)
             if self.iteration % log_every == 0:
@@ -291,9 +315,11 @@ class Trainer:
                 t_last = time.time()
                 logger.info('it %d | %s | lr %.2e | %.2f s/%d it',
                             self.iteration,
-                            ' '.join(f'{k}={v:.4f}' for k, v in losses.items()),
+                            ' '.join(f'{k}={float(v):.4f}'
+                                     for k, v in losses.items()),
                             self.lr, dt, log_every)
             if val_loader is not None and self.iteration % val_freq == 0:
+                self.flush_nan_checks()
                 avg = self.validate(
                     val_loader, jax.random.fold_in(key, 2 ** 30 + self.iteration))
                 logger.info('val it %d | loss %.4f', self.iteration, avg)
@@ -303,6 +329,7 @@ class Trainer:
                                         sampling_eval_samples,
                                         jax.random.fold_in(key, self.iteration),
                                         best_tracker)
+        self.flush_nan_checks()
         if val_loader is None:
             self.save()
         return self.params

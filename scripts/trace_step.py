@@ -46,13 +46,13 @@ def main():
         v, p, s, res_feat, mg, mr = map(rep, (v, p, s, res_feat, mg, mr))
     beta = model.trans_pos.sched.betas[jnp.full((N,), 50)]
     use_pallas = variant == 'pallas'
-    biases = aug_mats = None
+    biases = fast_weights = None
     if use_pallas:
-        from ab_opt_tpu.nn.ipa import precompute_encoder_aug_mats
+        from ab_opt_tpu.nn.ipa import precompute_encoder_fast_weights
         biases = precompute_encoder_pair_biases(
             params['params']['eps_net']['encoder'], pair_feat, mr[::reps],
             cfg.num_layers, dtype=cfg.compute_dtype)
-        aug_mats = precompute_encoder_aug_mats(
+        fast_weights = precompute_encoder_fast_weights(
             params['params']['eps_net']['encoder'], cfg.num_layers,
             dtype=cfg.compute_dtype)
 
@@ -65,7 +65,7 @@ def main():
     else:
         f = jax.jit(lambda pa, vv, pp, ss: model.net.apply(
             pa, vv, pp, ss, res_feat, pair_feat, beta, mg, mr, biases,
-            aug_mats, use_pallas, reps, method=DiffAbNet.denoise_step))
+            fast_weights, use_pallas, reps, method=DiffAbNet.denoise_step))
         calls, divisor = 3, 3
         run = lambda: f(params, v, p, s)
     for _ in range(2):

@@ -38,11 +38,17 @@ def test_dp_train_step(setup):
         loss_weights={'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
                       'prmsd': 0.1},
         max_grad_norm=100.0)
+    # The step donates params/opt_state buffers — work on fresh copies so
+    # the module-scoped fixture's params survive for later tests.
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
+    params = jax.tree_util.tree_map(jax.numpy.array, params)
+    opt_state = jax.tree_util.tree_map(jax.numpy.array, opt_state)
     p2, opt_state, losses = step(params, opt_state, batch, jax.random.key(1))
     assert np.isfinite(float(losses['overall']))
+    assert bool(losses['_finite'])
     # Params actually changed.
-    diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
-                                  params, p2)
+    diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).sum()),
+                                  p0, p2)
     assert sum(jax.tree_util.tree_leaves(diff)) > 0
 
 

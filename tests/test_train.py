@@ -47,6 +47,48 @@ def test_loader_shapes(data):
     assert 'mask' in batches[0]
 
 
+class _Flaky:
+    """Module-level (picklable for the forkserver pool) flaky dataset."""
+
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        from ab_opt_tpu.data.transforms import DISTVIOLATION
+        if i % 2 == 1:
+            raise DISTVIOLATION('synthetic')
+        return self.items[i]
+
+
+def test_loader_process_pool_matches_inline(data):
+    """num_workers>0 (forkserver pool, reference num_workers=8 analog) yields
+    the same batches as the inline path for deterministic datasets."""
+    kw = dict(batch_size=4, collate_fn=PaddingCollate(buckets=(16, 32)),
+              shuffle=False, seed=7)
+    inline = list(DataLoader(TransformedDataset(data, None), **kw))
+    pooled_loader = DataLoader(TransformedDataset(data, None),
+                               num_workers=2, **kw)
+    pooled = list(pooled_loader)
+    pooled_loader.close()
+    assert len(pooled) == len(inline)
+    for a, b in zip(pooled, inline):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_loader_process_pool_resamples_violations(data):
+    """Worker-side DISTVIOLATION resampling (ref sabdab.py:502-512)."""
+    loader = DataLoader(_Flaky(data), batch_size=4, shuffle=False,
+                        collate_fn=PaddingCollate(buckets=(16, 32)),
+                        num_workers=2)
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == 2 and batches[0]['aa'].shape[0] == 4
+
+
 def test_overfit_small(tmp_path, data):
     model = DiffAb(CFG)
     trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path),
