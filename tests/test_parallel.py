@@ -81,6 +81,44 @@ def test_sharded_sampling_fanout(setup):
     assert not np.allclose(p[0][gen], p[1][gen])
 
 
+@pytest.mark.e2e
+def test_sharded_sampling_production_shape_no_collectives():
+    """Per-device work isolation at production shapes (VERDICT r2 #8).
+
+    Shards a production-dims (128/64, 6-layer, L=128) sampling fan-out over
+    the 8-device mesh, executes it, and asserts from the compiled HLO that
+    the reverse scan contains NO cross-chip collectives — the trajectory
+    axis is embarrassingly parallel, so per-chip throughput must multiply
+    across ICI. num_steps is cut to 10 (scan trip count only; the per-step
+    HLO whose collectives we assert about is identical at 100).
+    """
+    cfg = DiffAbConfig(num_steps=10)
+    model = DiffAb(cfg)
+    mesh = make_mesh(8)
+    one = make_batch(np.random.default_rng(5), N=1, L=128)
+    batch = replicate_batch(one, 8)
+    params = model.init(jax.random.key(0), batch)
+    sample = sharded_sample_fn(model.sample, mesh)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded = {k: jax.device_put(v, NamedSharding(mesh, P('dp')))
+               for k, v in batch.items()}
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    compiled = sample.jitted.lower(params_r, sharded,
+                                   jax.random.key(2)).compile()
+    hlo = compiled.as_text()
+    for op in ('all-reduce', 'all-gather', 'reduce-scatter',
+               'collective-permute', 'all-to-all'):
+        assert op not in hlo, f'unexpected collective {op} in sampling HLO'
+
+    out = compiled(params_r, sharded, jax.random.key(2))
+    p = np.asarray(out['p'])
+    assert p.shape[0] == 8 and np.isfinite(p).all()
+    # Each device's trajectory differs (independent noise per shard).
+    gen = np.asarray(batch['generate_flag'][0])
+    assert not np.allclose(p[0][gen], p[4][gen])
+
+
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, '/root/repo')
