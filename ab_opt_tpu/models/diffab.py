@@ -120,11 +120,13 @@ class DiffAbNet(nn.Module):
 
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
                      mask_generate, mask_res, pair_biases=None, fast_weights=None,
-                     use_pallas=None, reps: int = 1, fused_encoder_fn=None):
+                     use_pallas=None, reps: int = 1, fused_encoder_fn=None,
+                     fuse_p2n: bool = False):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
                             fast_weights=fast_weights, use_pallas=use_pallas,
-                            reps=reps, fused_encoder_fn=fused_encoder_fn)
+                            reps=reps, fused_encoder_fn=fused_encoder_fn,
+                            fuse_p2n=fuse_p2n)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -321,7 +323,8 @@ class DiffAb:
             v_next, R_next, p_pred, c_denoised, prmsd_logits = self.net.apply(
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
                 mask_generate, mask_res, pair_biases, fast_weights, None, reps,
-                fused_fn, method=DiffAbNet.denoise_step)
+                fused_fn, self._use_pallas,      # fuse_p2n: sampling-only path
+                method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)
             if self.cfg.obj == 'pred_x0':

@@ -42,7 +42,8 @@ class EpsilonNet(nn.Module):
     @nn.compact
     def __call__(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
                  mask_generate, mask_res, pair_biases=None, fast_weights=None,
-                 use_pallas=None, reps: int = 1, fused_encoder_fn=None):
+                 use_pallas=None, reps: int = 1, fused_encoder_fn=None,
+                 fuse_p2n: bool = False):
         """
         Args:
           v_t: (N, L, 3) so3 orientations; p_t: (N, L, 3) normalized positions;
@@ -79,7 +80,7 @@ class EpsilonNet(nn.Module):
                                                  pair_biases=pair_biases,
                                                  fast_weights=fast_weights,
                                                  use_pallas=use_pallas,
-                                                 reps=reps)
+                                                 reps=reps, fuse_p2n=fuse_p2n)
 
         t_embed = jnp.stack([beta, jnp.sin(beta), jnp.cos(beta)], axis=-1)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (N, L, 3))

@@ -96,7 +96,7 @@ class GABlock(nn.Module):
 
     @nn.compact
     def __call__(self, R, t, x, z, mask, pair_bias=None, fast_w=None,
-                 use_pallas=None, reps: int = 1):
+                 use_pallas=None, reps: int = 1, fuse_p2n: bool = False):
         """
         Args:
           R: frame bases — planar tuple of 9 (N, L) components (hot path)
@@ -163,7 +163,7 @@ class GABlock(nn.Module):
             feat_p2n, feat_node, aggr = fused_ipa_fast(
                 x.astype(self.dtype), R, t, fast_w, z,
                 mask.astype(jnp.float32), pair_bias, reps=reps,
-                interpret=interp)
+                interpret=interp, fuse_p2n=fuse_p2n)
             feat_points = _global_to_local_planar(R, t, aggr, self.dtype)
         else:
             # Einsum paths (reference semantics; CPU/GPU fallback).
@@ -329,7 +329,8 @@ class GAEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, R, t, res_feat, pair_feat, mask, pair_biases=None,
-                 fast_weights=None, use_pallas=None, reps: int = 1):
+                 fast_weights=None, use_pallas=None, reps: int = 1,
+                 fuse_p2n: bool = False):
         use_pallas = self.use_pallas if use_pallas is None else use_pallas
         R = as_planar_rotation(R)      # convert (if dense) once, not per block
         opt = dict(self.ga_block_opt or {})
@@ -340,5 +341,6 @@ class GAEncoder(nn.Module):
                                dtype=self.dtype, name=f'block_{i}',
                                use_pallas=self.use_pallas, **opt)(
                 R, t, res_feat, pair_feat, mask, pair_bias=bias_i,
-                fast_w=fast_i, use_pallas=use_pallas, reps=reps)
+                fast_w=fast_i, use_pallas=use_pallas, reps=reps,
+                fuse_p2n=fuse_p2n)
         return res_feat

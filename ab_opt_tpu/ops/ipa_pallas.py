@@ -75,18 +75,24 @@ def _pick_tile(L: int) -> int:
 
 
 def _fwd_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, alphas_ref, *, H):
+    """Phase-separated: all logits dots back-to-back, ONE stacked softmax,
+    then all value dots — consecutive independent MXU ops pipeline without
+    the per-head dot->VPU->dot round trips of the interleaved form."""
     f32 = jnp.float32
+    logits = []
     for h in range(H):
         sl = slice(h * _DA, (h + 1) * _DA)
-        logits = jax.lax.dot_general(
+        logits.append(jax.lax.dot_general(
             qa_ref[:, sl], ka_ref[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                     # (TI, L)
-        logits = logits + bias_ref[h].astype(f32)
-        alpha = jax.nn.softmax(logits, axis=-1)
-        alphas_ref[h] = alpha.astype(alphas_ref.dtype)
+            preferred_element_type=f32))                    # (TI, L)
+    alpha = jax.nn.softmax(
+        jnp.stack(logits, 0) + bias_ref[...].astype(f32), axis=-1)
+    alphas_ref[...] = alpha.astype(alphas_ref.dtype)
+    ab = alpha.astype(vvp_ref.dtype)
+    for h in range(H):
         sv = slice(h * _DV, (h + 1) * _DV)
         out_ref[:, sv] = jnp.dot(
-            alpha.astype(vvp_ref.dtype), vvp_ref[:, sv],
+            ab[h], vvp_ref[:, sv],
             preferred_element_type=f32).astype(out_ref.dtype)
 
 
@@ -115,6 +121,64 @@ def _attention_fwd_call(qa, ka, vvp, bias, interpret: bool, reps: int = 1):
         interpret=interpret,
     )(qa, ka, vvp, bias)
     return out, alphas
+
+
+# --------------------------------------------------------------------------- #
+# Sampling-path forward: value aggregation AND pair aggregation in-kernel;
+# the (N, H, L, L) alphas never leave VMEM (they cost ~200 MB/layer of HBM
+# round-trip at a 256-trajectory fan-out). Forward-only — samplers never
+# differentiate; the training path keeps the alphas-saving kernel + XLA
+# p2n einsum above.
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_p2n_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, z_ref, out_ref,
+                    p2n_ref, *, H):
+    f32 = jnp.float32
+    logits = []
+    for h in range(H):
+        sl = slice(h * _DA, (h + 1) * _DA)
+        logits.append(jax.lax.dot_general(
+            qa_ref[:, sl], ka_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32))                    # (TI, L)
+    alpha = jax.nn.softmax(
+        jnp.stack(logits, 0) + bias_ref[...].astype(f32), axis=-1)
+    ab = alpha.astype(vvp_ref.dtype)                        # (H, TI, L)
+    for h in range(H):
+        sv = slice(h * _DV, (h + 1) * _DV)
+        out_ref[:, sv] = jnp.dot(
+            ab[h], vvp_ref[:, sv],
+            preferred_element_type=f32).astype(out_ref.dtype)
+    # p2n[l, h, c] = sum_j alpha[h, l, j] z[l, j, c]: batched dot over the
+    # query rows (z's block is per-complex — resident across all replicas).
+    p2n = jax.lax.dot_general(
+        ab.transpose(1, 0, 2), z_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)                         # (TI, H, Cz)
+    p2n_ref[...] = p2n.astype(p2n_ref.dtype)
+
+
+def _attention_fwd_p2n_call(qa, ka, vvp, bias, z, interpret: bool,
+                            reps: int = 1):
+    """Returns (out (N, L, H*_DV), p2n (N, L, H, Cz)); no alphas output."""
+    N, L = qa.shape[:2]
+    H = bias.shape[1]
+    Cz = z.shape[-1]
+    TI = _pick_tile(L)
+    grid = (N, L // TI)
+    row = lambda d: pl.BlockSpec((None, TI, d), lambda n, i: (n, i, 0))
+    full = lambda d: pl.BlockSpec((None, L, d), lambda n, i: (n, 0, 0))
+    b_spec = pl.BlockSpec((None, H, TI, L), lambda n, i: (n // reps, 0, i, 0))
+    z_spec = pl.BlockSpec((None, TI, L, Cz), lambda n, i: (n // reps, i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_p2n_kernel, H=H),
+        grid=grid,
+        in_specs=[row(H * _DA), full(H * _DA), full(H * _DV), b_spec, z_spec],
+        out_specs=(row(H * _DV),
+                   pl.BlockSpec((None, TI, H, Cz), lambda n, i: (n, i, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((N, L, H * _DV), qa.dtype),
+                   jax.ShapeDtypeStruct((N, L, H, Cz), qa.dtype)),
+        interpret=interpret,
+    )(qa, ka, vvp, bias, z)
 
 
 # --------------------------------------------------------------------------- #
@@ -466,12 +530,15 @@ def make_fast_weights(Wq, Wk, Wv, Wqp, Wkp, Wvp, coef, dtype):
 
 
 def fused_ipa_fast(x, R9, t, fast, z, mask, pair_bias, reps: int = 1,
-                   interpret: bool = False):
+                   interpret: bool = False, fuse_p2n: bool = False):
     """GABlock attention via fast weights: x -> (p2n, node, pts_planar).
 
     ``R9``: planar rotation (tuple of 9 (N, L) components); ``t``: (N, L, 3);
     ``fast``: dict from :func:`make_fast_weights`; ``pair_bias``: head-major
     per-complex bias from :func:`precompute_pair_bias`.
+    ``fuse_p2n``: sampling-only fast path — pair aggregation happens inside
+    the attention kernel and the (N, H, L, L) alphas never reach HBM; it has
+    no VJP, so training paths must leave it False.
     Returns the same triple as :func:`fused_ipa_from_flat` (points output
     planar (N, L, 3, H*PV) for the caller's global->local rotation).
     """
@@ -505,8 +572,13 @@ def fused_ipa_fast(x, R9, t, fast, z, mask, pair_bias, reps: int = 1,
         jnp.concatenate([x, vp_g.reshape(N, L, 3 * HPV)], axis=-1),
         fast['s_v'])
 
-    out, alphas = _fused_attention(interpret, reps, qa, ka, vvp, pair_bias)
-    p2n = p2n_aggregate(alphas.astype(ct), z, reps)
+    if fuse_p2n:
+        out, p2n = _attention_fwd_p2n_call(qa, ka, vvp, pair_bias,
+                                           z.astype(ct), interpret, reps)
+        p2n = p2n.astype(ct)
+    else:
+        out, alphas = _fused_attention(interpret, reps, qa, ka, vvp, pair_bias)
+        p2n = p2n_aggregate(alphas.astype(ct), z, reps)
 
     out4 = out.reshape(N, L, H, _DV)
     node = out4[..., :Dv].reshape(N, L, H * Dv)

@@ -144,6 +144,27 @@ class TestReplicaSharing:
         np.testing.assert_allclose(np.asarray(gz_fused), np.asarray(gz_ref),
                                    atol=3e-4, err_msg='z')
 
+    def test_fuse_p2n_matches_composable(self, rng):
+        """Sampling fast path (in-kernel pair aggregation, no alphas in HBM)
+        == composable pallas path, with replica-shared z."""
+        from ab_opt_tpu.nn.ipa import GABlock
+        reps, Nc, L, F, C = 3, 2, 16, 32, 8
+        N = Nc * reps
+        R = jnp.broadcast_to(jnp.eye(3), (N, L, 3, 3))
+        t = jnp.asarray(rng.normal(size=(N, L, 3)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(N, L, F)), jnp.float32)
+        z_c = jnp.asarray(rng.normal(size=(Nc, L, L, C)), jnp.float32)
+        mask = jnp.ones((N, L), bool)
+
+        blk = GABlock(F, C, value_dim=8, query_key_dim=8, num_query_points=4,
+                      num_value_points=4, num_heads=2, use_pallas=True)
+        params = blk.init(jax.random.key(0), R, t, x,
+                          jnp.repeat(z_c, reps, 0), mask)
+        ref = blk.apply(params, R, t, x, z_c, mask, reps=reps)
+        got = blk.apply(params, R, t, x, z_c, mask, reps=reps, fuse_p2n=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
     def test_gablock_reps_einsum_path(self, rng):
         """Einsum path with shared z == einsum path with repeated z."""
         from ab_opt_tpu.nn.ipa import GABlock
