@@ -8,5 +8,11 @@ from .mesh import (
     sharded_sample_fn,
     sharded_train_step,
 )
+from .distributed import (
+    init_distributed,
+    global_mesh,
+    host_batch_slice,
+    global_batch_from_host_shards,
+)
 
 __all__ = [k for k in dir() if not k.startswith('_')]

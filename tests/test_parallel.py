@@ -124,3 +124,34 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, '/root/repo')
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_host_batch_slice_single_process():
+    from ab_opt_tpu.parallel import host_batch_slice
+    assert host_batch_slice(8) == slice(0, 8)
+    assert host_batch_slice(7) == slice(0, 7)   # 1 process divides anything
+
+
+def test_global_batch_from_host_shards_single_process():
+    """Single-process degenerate case: global == local, sharded over dp."""
+    from ab_opt_tpu.parallel import global_batch_from_host_shards, global_mesh
+    mesh = global_mesh()
+    local = {'x': np.arange(len(jax.devices()) * 3, dtype=np.float32
+                            ).reshape(len(jax.devices()), 3)}
+    out = global_batch_from_host_shards(local, mesh)
+    assert out['x'].shape == local['x'].shape
+    np.testing.assert_array_equal(np.asarray(out['x']), local['x'])
+
+
+@pytest.mark.e2e
+def test_multihost_dryrun_two_processes():
+    """Two CPU processes + gloo collectives: the pod-scale wiring
+    (jax.distributed + per-host shards) compiles and steps (VERDICT r2 #10)."""
+    import pathlib
+    import subprocess
+    import sys
+    script = pathlib.Path(__file__).resolve().parents[1] / 'scripts' / 'dryrun_multihost.py'
+    proc = subprocess.run([sys.executable, str(script)], capture_output=True,
+                          text=True, timeout=500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert 'MULTIHOST DRYRUN OK' in proc.stdout
