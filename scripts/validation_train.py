@@ -32,6 +32,8 @@ COMPLEXES = [
     ('7DK2', f'{EXAMPLES}/7DK2_AB_C_chothia.pdb', 'A', 'B'),
     ('5mes', f'{EXAMPLES}/5mes_H_L_A_chothia.pdb', 'H', 'L'),
     ('7bsd', f'{EXAMPLES}/7bsd_A_B_G_chothia.pdb', 'A', 'B'),
+    # Antibody-only Fv (no antigen) — exercises the antigen-free path.
+    ('3QHF', f'{EXAMPLES}/3QHF_Fv.pdb', 'H', 'L'),
 ]
 
 
@@ -41,6 +43,14 @@ def main():
     ap.add_argument('--out', default='/tmp/val_run')
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--eval_every', type=int, default=500)
+    ap.add_argument('--dims', choices=('small', 'production'), default='small',
+                    help='production = 128/64 feats, 6 IPA layers, 100 '
+                         'diffusion steps (the reference training config, '
+                         'AbDock/configs/train/dock_single.yml)')
+    ap.add_argument('--overfit', action='store_true',
+                    help='memorization check: train on ONE complex with a '
+                         'fixed CDR-H3 mask (no augmentation); AAR must '
+                         'approach 1.0')
     args = ap.parse_args()
 
     import jax
@@ -51,8 +61,9 @@ def main():
     from ab_opt_tpu.train import Trainer
 
     os.makedirs(args.out, exist_ok=True)
+    complexes = COMPLEXES[:1] if args.overfit else COMPLEXES
     structures = []
-    for sid, path, h, l in COMPLEXES:
+    for sid, path, h, l in complexes:
         s = preprocess_antibody_structure(
             {'id': sid, 'pdb_path': path, 'heavy_id': h, 'light_id': l})
         assert s is not None, sid
@@ -60,7 +71,9 @@ def main():
     print(f'parsed {len(structures)} complexes', flush=True)
 
     train_tfm = get_transform([
-        {'type': 'mask_single_cdr', 'augmentation': True},
+        ({'type': 'mask_single_cdr', 'selection': 'CDR3',
+          'augmentation': False} if args.overfit else
+         {'type': 'mask_single_cdr', 'augmentation': True}),
         {'type': 'merge_chains'},
         {'type': 'patch_around_anchor', 'initial_patch_size': 96,
          'antigen_size': 64},
@@ -85,9 +98,14 @@ def main():
     eval_items = [eval_tfm(copy.deepcopy(s), rng=np.random.default_rng(1))
                   for s in structures]
 
-    model = DiffAb(DiffAbConfig(
-        res_feat_dim=64, pair_feat_dim=32, num_layers=3, num_steps=50,
-        num_bins=16, dtype='bfloat16'))
+    if args.dims == 'production':
+        # Reference training config: AbDock/configs/train/dock_single.yml
+        # (res 128 / pair 64, 6 IPA layers, 100 diffusion steps).
+        model = DiffAb(DiffAbConfig(dtype='bfloat16'))
+    else:
+        model = DiffAb(DiffAbConfig(
+            res_feat_dim=64, pair_feat_dim=32, num_layers=3, num_steps=50,
+            num_bins=16, dtype='bfloat16'))
     train_cfg = {
         'loss_weights': {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
                          'prmsd': 0.1},
@@ -109,10 +127,16 @@ def main():
             while True:
                 yield make_batch(r)
 
+        step_times = []
+        last_t = [time.time()]
+
         def on_step(it, losses):
+            now = time.time()
+            step_times.append(now - last_t[0])
+            last_t[0] = now
             if it % 100 == 0:
-                rec = {'it': it, 'wall_s': round(time.time() - t0, 1),
-                       **{k: round(v, 4) for k, v in losses.items()}}
+                rec = {'it': it, 'wall_s': round(now - t0, 1),
+                       **{k: round(float(v), 4) for k, v in losses.items()}}
                 mf.write(json.dumps(rec) + '\n')
                 mf.flush()
                 print(rec, flush=True)
@@ -122,6 +146,15 @@ def main():
                       max_iters=args.steps, on_step=on_step,
                       sampling_eval_items=eval_items,
                       sampling_eval_samples=4)
+
+    # Train throughput: median per-step wall time is robust to the compile
+    # outliers (first step + each new padding bucket) and eval pauses.
+    med = float(np.median(step_times)) if step_times else float('nan')
+    print('THROUGHPUT', json.dumps({
+        'dims': args.dims, 'batch': args.batch,
+        'median_step_s': round(med, 4),
+        'train_steps_per_s': round(1.0 / med, 2),
+        'train_samples_per_s': round(args.batch / med, 2)}), flush=True)
 
     # Final sampling eval with more samples.
     from ab_opt_tpu.train.sampling_eval import evaluate_samples
