@@ -125,13 +125,43 @@ def plot_distributions(df, path: str):
     plt.close(fig)
 
 
+def summarize_seq_design(design_dir: str):
+    """Stage-1 (sequence design) per-candidate summary: mean AAR per design
+    from each candidate's aa.csv, sorted ascending — low-AAR designs are the
+    most-mutated candidates the wet workflow carries forward (ref
+    optimize_ab.py:42 summarize_seqs + ab_opt_analysis_4mutations.ipynb
+    cell 3). Writes <design_dir>/summary.csv, returns the DataFrame."""
+    import pandas as pd
+    rows = []
+    for path in sorted(glob.glob(os.path.join(design_dir, '*', 'aa.csv'))):
+        df = pd.read_csv(path)
+        col = 'AAR' if 'AAR' in df.columns else 'aar'
+        if col not in df.columns or not len(df):
+            continue
+        rows.append({'pdb_id': os.path.basename(os.path.dirname(path)),
+                     'AAR': float(df[col].mean())})
+    out_df = pd.DataFrame(rows, columns=['pdb_id', 'AAR'])
+    out_df = out_df.sort_values('AAR', ascending=True).reset_index(drop=True)
+    out_df['id'] = out_df.index
+    out_df.to_csv(os.path.join(design_dir, 'summary.csv'), index=False)
+    return out_df
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('--screen_dir', required=True)
+    ap.add_argument('--seq_design_dir', default=None,
+                    help='stage-1 seq-design output dir; writes its '
+                         'summary.csv (mean AAR per candidate)')
     ap.add_argument('--out', default=None)
     args = ap.parse_args(argv)
     out = args.out or os.path.join(args.screen_dir, 'analysis')
     os.makedirs(out, exist_ok=True)
+
+    if args.seq_design_dir:
+        sdf = summarize_seq_design(args.seq_design_dir)
+        print(f'seq-design summary: {len(sdf)} candidates -> '
+              f'{os.path.join(args.seq_design_dir, "summary.csv")}')
 
     df = collect_screening_df(args.screen_dir)
     df.to_csv(os.path.join(out, 'screening_df.csv'), index=False,
