@@ -155,3 +155,28 @@ def test_screening_analysis(tmp_path):
     assert (out / 'mutation_candidates.csv').exists()
     counts = A.aa_counts(df['aa'])
     assert counts.shape == (8, 20) and counts.sum() == 32
+
+
+def test_seq_design_summary(tmp_path):
+    """Stage-1 per-candidate AAR summary (examples/ab_opt_analysis.py
+    summarize_seq_design; ref optimize_ab.py:42 summarize_seqs): mean AAR per
+    candidate from aa.csv, sorted ascending (most-mutated first)."""
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / 'examples'))
+    import ab_opt_analysis as A
+
+    aars = {'candA': [0.8, 0.6], 'candB': [0.2, 0.4], 'candC': [0.5]}
+    for name, vals in aars.items():
+        d = tmp_path / name
+        d.mkdir()
+        lines = ['Region,native_aa,sampled_aa,AAR,PPL'] + [
+            f'H_CDR3,YCARDLGI,ACDEFGHI,{v},0.1' for v in vals]
+        (d / 'aa.csv').write_text('\n'.join(lines) + '\n')
+    (tmp_path / 'no_csv_dir').mkdir()  # ignored: no aa.csv
+
+    df = A.summarize_seq_design(str(tmp_path))
+    assert list(df['pdb_id']) == ['candB', 'candC', 'candA']  # ascending AAR
+    assert np.allclose(df['AAR'], [0.3, 0.5, 0.7])
+    assert list(df['id']) == [0, 1, 2]
+    assert (tmp_path / 'summary.csv').exists()
