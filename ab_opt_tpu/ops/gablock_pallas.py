@@ -1,26 +1,40 @@
-"""Fully-fused GABlock sampling kernel (Pallas TPU).
+"""Fully-fused GABlock sampling kernel, grid-over-complexes (Pallas TPU).
 
 One kernel call runs an ENTIRE IPA block (ref AbDock/src/modules/encoders/
-ga.py:40-178) for one complex row-block: projections, frame rotations,
-augmented-q/k assembly, per-head attention, value + pair aggregation, the
-output transform, and the residual LayerNorm/MLP tail — all VMEM-resident.
+ga.py:40-178) for a tile of RT trajectory replicas of one complex:
+fast-weight projections, frame rotations, augmented-q/k assembly, per-head
+attention, value + pair aggregation, the output transform, and the residual
+LayerNorm/MLP tail — all VMEM-resident.
 
-Motivation (measured on v5e, L=128, 32-replica fan-out): after the v5.4
-layout work the denoise step spent ~1.5 ms/step in ~30 modest XLA dots and
-~160 pointwise fusions *between* kernels — every intermediate made a round
-trip through HBM. Fusing the whole block keeps them on-chip.
+v2 design (the v1 experiment lost 6x at fan-out scale; see PERF.md):
+
+* **Grid over complexes**: grid = (Nc, reps // RT). Each cell holds RT
+  replicas of one complex, so the per-complex pair tensor ``z`` and pair
+  bias stay resident across the replica tiles (consecutive grid steps reuse
+  the block — Pallas skips the re-fetch) and every glue GEMM runs at
+  M = RT*L rows instead of L.
+* **Pair aggregation on the MXU**: the v1 kernel reduced
+  sum_j alpha[i,j] z[i,j,:] as a VPU broadcast-multiply per head — the
+  single reason it lost to the XLA einsum (which batches M = reps*H).
+  v2 stacks the replica-tile's softmax weights as (L, RT*H, L) and runs ONE
+  dot_general batched over query rows i: per row an (RT*H, L) @ (L, Cz)
+  matmul — M = RT*H on the systolic array, same trick as the XLA path but
+  without the HBM round trip of the (N, H, L, L) alphas.
+* **Unrolled phase-separated heads**: v1's fori_loop over 128-lane padded
+  head slots existed only because dynamic lane offsets must be multiples of
+  128; unrolled python-loop heads slice at static 64-lane offsets, halving
+  the qa/ka/vvp footprint and letting consecutive MXU dots pipeline.
+* **Fast-weight operands** (ops.ipa_pallas.make_fast_weights): q/k/v
+  projections folded into the augment scatter matrices — one GEMM per
+  attention operand from [x | points | |p|^2].
 
 This kernel serves the SAMPLING path only (forward, no custom VJP);
 training and CPU/parity paths use the composable nn/ipa.py implementations.
 
-Weight bundle per layer (see :func:`build_gablock_weights`):
-  wqkvp (F, H*(2*QK+V) + 3*H*(2*P+PV))  fused projection (points planar)
-  aug   (2, 685, H*64)                  augmented-q/k scale/permute (Sq, Sk)
-  pool  (3*H*P, H)                      planar |p|^2 per-head pooling
-  vpack (H*(V+3*PV), H*64)              value + value-point slot packing
-  wout  (H*Cz + H*V + 7*H*PV, F), bout  output transform
-  ln1/ln2 (2, F)                        LayerNorm scale row 0, bias row 1
-  wm1/wm2/wm3 (F, F), bm (3, F)         transition MLP
+Weight bundle per layer (:func:`build_gablock_weights`): the
+make_fast_weights dict (w_pts / s_q / s_k / s_v / bias_q / bias_k) plus
+wout/bout (output transform), ln1/ln2 (LayerNorm scale row 0, bias row 1)
+and wm1/wm2/wm3/bm (transition MLP).
 """
 from __future__ import annotations
 
@@ -29,31 +43,11 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
-from .ipa_pallas import (
-    _DA,
-    _DV,
-    _planar_pool_np,
-    _value_matrix_np,
-    make_augment_mat,
-)
+from .ipa_pallas import _DA, _DV, _planar_pool_np, make_fast_weights
 
 _LN_EPS = 1e-10
-# Per-head slot width inside this kernel: dynamic lane offsets (the
-# fori_loop head index) must be provable multiples of 128 on TPU, so the
-# 64-wide augmented/value slots are padded with 64 zero lanes each.
-_SLOT = 128
-
-
-def _widen_slots(m, H, width):
-    """Expand packed (in, H*width) columns to 128-lane slots (zero pad)."""
-    parts = []
-    for h in range(H):
-        parts.append(m[:, h * width:(h + 1) * width])
-        parts.append(jnp.zeros((m.shape[0], _SLOT - width), m.dtype))
-    return jnp.concatenate(parts, axis=1)
 
 
 def _layernorm(x, scale, bias):
@@ -67,9 +61,10 @@ def _layernorm(x, scale, bias):
 def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
     """Planar rotation of a flat [x | y | z] section block.
 
-    pts: (L, 3*n_pts) with component-major planar layout. R: (L, 9) row-major
-    3x3; t: (L, 3). Returns same layout. ``sub_t`` subtracts t before the
-    (transposed) rotation (global->local); otherwise adds t after.
+    pts: (rows, 3*n_pts) component-major planar layout. R: (rows, 9)
+    row-major 3x3; t: (rows, 3). Returns the same layout. ``sub_t``
+    subtracts t before the (transposed) rotation (global->local); otherwise
+    adds t after (local->global).
     """
     comps = [pts[:, c * n_pts:(c + 1) * n_pts] for c in range(3)]
     if sub_t:
@@ -86,97 +81,103 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 
 def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
-                    wqkvp_ref, aug_ref, pool_ref, vpack_ref,
-                    wout_ref, bout_ref, ln1_ref,
+                    w_pts_ref, s_q_ref, s_k_ref, s_v_ref, b_q_ref, b_k_ref,
+                    pool_ref, wout_ref, bout_ref, ln1_ref,
                     wm1_ref, wm2_ref, wm3_ref, bm_ref, ln2_ref,
-                    out_ref, qa_s, ka_s, vvp_s, heads_s, p2n_s,
-                    *, H, QK, V, P, PV, Cz):
+                    out_ref, *, RT, H, QK, V, P, PV, Cz):
     f32 = jnp.float32
     dt = jnp.bfloat16
-    L = x_ref.shape[0]
-    HP3 = 3 * H * P
+    L = x_ref.shape[1]
+    rows = RT * L
+    HP, HPV = H * P, H * PV
+    n_tot = 2 * HP + HPV
 
-    x_in = x_ref[...].astype(f32)                           # (L, F)
+    x_in = x_ref[...].reshape(rows, -1).astype(f32)          # (RT*L, F)
     x = x_in.astype(dt)
-    proj = jnp.dot(x, wqkvp_ref[...],
-                   preferred_element_type=f32).astype(dt)   # (L, 2016)
+    R = R_ref[...].reshape(rows, 9).astype(dt)
+    t = t_ref[...].reshape(rows, 3).astype(dt)
 
-    o_q, o_k, o_v = 0, H * QK, 2 * H * QK
-    o_p = 2 * H * QK + H * V
-    q, k, v = proj[:, o_q:o_k], proj[:, o_k:o_v], proj[:, o_v:o_p]
-    R = R_ref[...].astype(dt)
-    t = t_ref[...].astype(dt)
-    qp = _rotate_sections(R, t, proj[:, o_p:o_p + HP3], H * P)
-    kp = _rotate_sections(R, t, proj[:, o_p + HP3:o_p + 2 * HP3], H * P)
-    vp = _rotate_sections(R, t, proj[:, o_p + 2 * HP3:], H * PV)
+    # Points: one fused projection (component-major [qp | kp | vp] per
+    # component), rotated to the global frame in planar form.
+    pts = jnp.dot(x, w_pts_ref[...], preferred_element_type=f32).astype(dt)
+    pts_g = _rotate_sections(R, t, pts, n_tot)               # (rows, 3*n_tot)
+    sect = lambda off, w: jnp.concatenate(
+        [pts_g[:, c * n_tot + off:c * n_tot + off + w] for c in range(3)],
+        axis=-1)
+    qp = sect(0, HP)                                         # (rows, 3*HP)
+    kp = sect(HP, HP)
+    vp = sect(2 * HP, HPV)                                   # (rows, 3*HPV)
 
-    # Augmented q/k: [q | qp | |qp|^2 | 1] @ Sq (and k-side @ Sk).
+    # Attention operands: one GEMM each from [x | points | |p|^2].
     pool = pool_ref[...]
     sq_q = jnp.dot(qp * qp, pool, preferred_element_type=f32).astype(dt)
     sq_k = jnp.dot(kp * kp, pool, preferred_element_type=f32).astype(dt)
-    one = jnp.ones((L, 1), dt)
-    qa_s[...] = jnp.dot(jnp.concatenate([q, qp, sq_q, one], axis=-1),
-                        aug_ref[0], preferred_element_type=f32).astype(dt)
-    ka_s[...] = jnp.dot(jnp.concatenate([k, kp, sq_k, one], axis=-1),
-                        aug_ref[1], preferred_element_type=f32).astype(dt)
-    vvp_s[...] = jnp.dot(jnp.concatenate([v, vp], axis=-1), vpack_ref[...],
-                         preferred_element_type=f32).astype(dt)  # (L, H*_DV)
+    qa = (jnp.dot(jnp.concatenate([x, qp, sq_q], axis=-1), s_q_ref[...],
+                  preferred_element_type=f32).astype(dt) + b_q_ref[...])
+    ka = (jnp.dot(jnp.concatenate([x, kp, sq_k], axis=-1), s_k_ref[...],
+                  preferred_element_type=f32).astype(dt) + b_k_ref[...])
+    vvp = jnp.dot(jnp.concatenate([x, vp], axis=-1), s_v_ref[...],
+                  preferred_element_type=f32).astype(dt)     # (rows, H*_DV)
 
-    # Head loop as fori_loop over scratch refs: unrolled heads made Mosaic
-    # stack-allocate every head's temps simultaneously (~90 MB vs the 16 MB
-    # VMEM scope); the dynamic loop keeps ONE buffer per temp.
-    CJ = 16 if L % 16 == 0 else 8
+    bias = bias_ref[...].astype(f32)                         # (H, L, L)
 
-    def head_body(h, carry):
-        qa_h = qa_s[:, pl.ds(h * _SLOT, _SLOT)]
-        ka_h = ka_s[:, pl.ds(h * _SLOT, _SLOT)]
-        logits = jax.lax.dot_general(
-            qa_h, ka_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                     # (L, L)
-        logits = logits + bias_ref[h].astype(f32)
-        alpha = jax.nn.softmax(logits, axis=-1)
-        heads_s[:, pl.ds(h * _SLOT, _SLOT)] = jnp.dot(
-            alpha.astype(dt), vvp_s[:, pl.ds(h * _SLOT, _SLOT)],
-            preferred_element_type=f32).astype(dt)
-        # Pair aggregation sum_j alpha[i,j] z[i,j,:]: per-row weights make
-        # this a broadcast-multiply + j-reduction, not a matmul; chunked
-        # over j to bound the (L, CJ, Cz) f32 temp (f32 because Mosaic only
-        # supports non-trivial minor-dim broadcasts on 32-bit types).
-        acc = jnp.zeros((L, Cz), f32)
-        for jc in range(L // CJ):
-            a_c = alpha[:, jc * CJ:(jc + 1) * CJ]
-            z_c = z_ref[:, jc * CJ:(jc + 1) * CJ, :].astype(f32)
-            acc = acc + jnp.sum(a_c[:, :, None] * z_c, axis=1)
-        p2n_s[:, pl.ds(h * _SLOT, _SLOT)] = jnp.concatenate(
-            [acc.astype(dt), jnp.zeros((L, _SLOT - Cz), dt)], axis=-1)
-        return carry
+    # Per-replica attention, phase-separated: all logits dots back-to-back,
+    # one stacked softmax per replica, then the value dots. The softmax
+    # weights are also stacked (L, RT*H, L) for the batched pair dot below.
+    outs = []                          # per replica: (L, H*_DV) values
+    alpha_rows = []                    # per replica: (L, H, L) bf16
+    for r in range(RT):
+        qa_r = qa[r * L:(r + 1) * L]
+        ka_r = ka[r * L:(r + 1) * L]
+        logits = [jax.lax.dot_general(
+            qa_r[:, h * _DA:(h + 1) * _DA], ka_r[:, h * _DA:(h + 1) * _DA],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            for h in range(H)]
+        alpha = jax.nn.softmax(jnp.stack(logits, 0) + bias, axis=-1)
+        ab = alpha.astype(dt)                                # (H, L, L)
+        alpha_rows.append(ab.transpose(1, 0, 2))             # (L, H, L)
+        vvp_r = vvp[r * L:(r + 1) * L]
+        outs.append(jnp.concatenate(
+            [jnp.dot(ab[h], vvp_r[:, h * _DV:(h + 1) * _DV],
+                     preferred_element_type=f32).astype(dt)
+             for h in range(H)], axis=-1))
 
-    jax.lax.fori_loop(0, H, head_body, 0)
+    # Pair aggregation sum_j alpha[rh, i, j] z[i, j, c] as ONE batched
+    # matmul over query rows i: per row (RT*H, L) @ (L, Cz) — the replica
+    # tile batches the M dimension on the MXU (v1's VPU reduce was the 6x).
+    a_all = jnp.concatenate(alpha_rows, axis=1)              # (L, RT*H, L)
+    p2n_all = jax.lax.dot_general(
+        a_all, z_ref[...].astype(dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32).astype(dt)               # (L, RT*H, Cz)
 
-    p2n = jnp.concatenate(
-        [p2n_s[:, h * _SLOT:h * _SLOT + Cz] for h in range(H)], axis=-1)
-    outs = [heads_s[:, h * _SLOT:(h + 1) * _SLOT] for h in range(H)]
-    node = jnp.concatenate([o[:, :V] for o in outs], axis=-1)   # (L, H*V)
-    # Per-head planar point slots -> planar across heads ([x | y | z]).
-    pts_g = jnp.concatenate(
-        [jnp.concatenate([o[:, V + c * PV:V + (c + 1) * PV] for o in outs],
-                         axis=-1) for c in range(3)], axis=-1)  # (L, 3*H*PV)
-    fp = _rotate_sections(R, t, pts_g, H * PV, transpose=True,
-                          sub_t=True).astype(f32)           # (L, 3*H*PV)
-    HPV = H * PV
-    sumsq = (jnp.square(fp[:, :HPV]) + jnp.square(fp[:, HPV:2 * HPV])
-             + jnp.square(fp[:, 2 * HPV:]))
-    dist = jnp.sqrt(sumsq + 1e-12)
-    # normalize_vector(eps=1e-4) semantics: n = sqrt(ss + eps^2); v/(n+eps).
-    inv = 1.0 / (jnp.sqrt(sumsq + 1e-8) + 1e-4)
-    direction = fp * jnp.concatenate([inv, inv, inv], axis=-1)
+    feats = []
+    for r in range(RT):
+        o = outs[r]                                          # (L, H*_DV)
+        node = jnp.concatenate(
+            [o[:, h * _DV:h * _DV + V] for h in range(H)], axis=-1)
+        # Per-head planar point slots -> planar across heads ([x | y | z]).
+        pts_o = jnp.concatenate(
+            [jnp.concatenate(
+                [o[:, h * _DV + V + c * PV:h * _DV + V + (c + 1) * PV]
+                 for h in range(H)], axis=-1) for c in range(3)], axis=-1)
+        fp = _rotate_sections(R[r * L:(r + 1) * L], t[r * L:(r + 1) * L],
+                              pts_o, HPV, transpose=True,
+                              sub_t=True).astype(f32)        # (L, 3*HPV)
+        sumsq = (jnp.square(fp[:, :HPV]) + jnp.square(fp[:, HPV:2 * HPV])
+                 + jnp.square(fp[:, 2 * HPV:]))
+        dist = jnp.sqrt(sumsq + 1e-12)
+        # normalize_vector(eps=1e-4): n = sqrt(ss + eps^2); v / (n + eps).
+        inv = 1.0 / (jnp.sqrt(sumsq + 1e-8) + 1e-4)
+        direction = fp * jnp.concatenate([inv, inv, inv], axis=-1)
+        p2n = p2n_all[:, r * H:(r + 1) * H, :].reshape(L, H * Cz)
+        feats.append(jnp.concatenate(
+            [p2n, node, fp.astype(dt), dist.astype(dt), direction.astype(dt)],
+            axis=-1))
 
-    feat_all = jnp.concatenate(
-        [p2n, node, fp.astype(dt), dist.astype(dt), direction.astype(dt)],
-        axis=-1)                                            # (L, 1824)
+    feat_all = jnp.concatenate(feats, axis=0)                # (RT*L, 1824)
     y = jnp.dot(feat_all, wout_ref[...],
                 preferred_element_type=f32) + bout_ref[...].astype(f32)
-    y = y * mask_ref[...].astype(f32)                       # (L, 1) column
+    y = y * mask_ref[...].reshape(rows, 1).astype(f32)
 
     x1 = _layernorm(x_in + y, ln1_ref[0].astype(f32), ln1_ref[1].astype(f32))
     h1 = jax.nn.relu(jnp.dot(x1.astype(dt), wm1_ref[...],
@@ -187,38 +188,36 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
                      + bm_ref[1].astype(f32))
     h3 = (jnp.dot(h2.astype(dt), wm3_ref[...], preferred_element_type=f32)
           + bm_ref[2].astype(f32))
-    out_ref[...] = _layernorm(x1 + h3, ln2_ref[0].astype(f32),
-                              ln2_ref[1].astype(f32)).astype(out_ref.dtype)
+    out = _layernorm(x1 + h3, ln2_ref[0].astype(f32), ln2_ref[1].astype(f32))
+    out_ref[...] = out.reshape(RT, L, -1).astype(out_ref.dtype)
 
 
 def build_gablock_weights(bp, dtype=jnp.bfloat16):
     """Per-layer weight bundle for the fused kernel from a GABlock param
     subtree (``params['params'][...]['encoder']['block_i']``)."""
-    g = lambda name: bp[name]['kernel'].astype(dtype)
-    wqkvp = jnp.concatenate(
-        [g('proj_query'), g('proj_key'), g('proj_value'),
-         g('proj_query_point'), g('proj_key_point'), g('proj_value_point')],
-        axis=1)
+    g = lambda name: bp[name]['kernel']
     raw = bp['spatial_coef'].reshape(-1)
     H = raw.shape[0]
-    QK = bp['proj_query']['kernel'].shape[-1] // H
-    V = bp['proj_value']['kernel'].shape[-1] // H
-    P3 = bp['proj_query_point']['kernel'].shape[-1] // H
-    PV3 = bp['proj_value_point']['kernel'].shape[-1] // H
+    QK = g('proj_query').shape[-1] // H
+    V = g('proj_value').shape[-1] // H
+    P3 = g('proj_query_point').shape[-1] // H
+    PV3 = g('proj_value_point').shape[-1] // H
     gamma = jax.nn.softplus(raw.astype(jnp.float32))
     coef = -gamma * math.sqrt(2.0 / (3.0 * P3)) / 2.0
+    fast = make_fast_weights(
+        g('proj_query'), g('proj_key'), g('proj_value'),
+        g('proj_query_point'), g('proj_key_point'), g('proj_value_point'),
+        coef * math.sqrt(1.0 / 3.0), dtype)
     ln = lambda name: jnp.stack([bp[name]['scale'], bp[name]['bias']])
     mlp = lambda i: bp[f'Dense_{i}']
-    aug = make_augment_mat(coef, H, QK, P3, dtype)
     return {
-        'wqkvp': wqkvp,
-        'aug': jnp.stack([_widen_slots(aug[0], H, _DA),
-                          _widen_slots(aug[1], H, _DA)]),
+        'w_pts': fast['w_pts'],
+        's_q': fast['s_q'], 's_k': fast['s_k'], 's_v': fast['s_v'],
+        'b_q': fast['bias_q'].reshape(1, -1).astype(dtype),
+        'b_k': fast['bias_k'].reshape(1, -1).astype(dtype),
         'pool': jnp.asarray(_planar_pool_np(H, P3), dtype),
-        'vpack': _widen_slots(
-            jnp.asarray(_value_matrix_np(H, V, PV3), dtype), H, _DV),
         'wout': bp['out_transform']['kernel'].astype(dtype),
-        'bout': bp['out_transform']['bias'].astype(jnp.float32),
+        'bout': bp['out_transform']['bias'].reshape(1, -1).astype(jnp.float32),
         'ln1': ln('LayerNorm_0').astype(jnp.float32),
         'wm1': mlp(0)['kernel'].astype(dtype),
         'wm2': mlp(1)['kernel'].astype(dtype),
@@ -230,56 +229,55 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
     }
 
 
+def _pick_rt(reps: int, L: int, rt=None) -> int:
+    """Replicas per grid cell: largest divisor of ``reps`` within the VMEM
+    budget (~13 MB at L=128 for RT=4; halve the tile when L doubles)."""
+    if rt is None:
+        rt = max(1, min(reps, 512 // max(L, 128)))
+    rt = min(rt, reps)
+    while reps % rt:
+        rt -= 1
+    return rt
+
+
 def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
-                        interpret: bool = False):
+                        rt=None, interpret: bool = False):
     """One fused IPA block: x (N, L, F) f32 -> updated x (N, L, F) f32.
 
     z (Nc, L, L, Cz) and bias (Nc, H, L, L) are per-complex (Nc = N // reps)
-    under trajectory fan-out; replicas index their complex's block.
+    under trajectory fan-out; replica rows are contiguous per complex
+    (row n belongs to complex n // reps). ``rt`` overrides the replica-tile
+    size (must divide ``reps``).
     """
     N, L, F = x.shape
-    mask = mask.reshape(N, L, 1)            # column vector per row-block
+    Nc = N // reps
+    RT = _pick_rt(reps, L, rt)
     H, QK, V, P, PV = wb['dims']
     Cz = z.shape[-1]
 
-    grid = (N,)
-    row = lambda d, dep=True: pl.BlockSpec(
-        (None, L, d), (lambda n: (n, 0, 0)) if dep else (lambda n: (0, 0, 0)))
-    const = lambda shape: pl.BlockSpec(shape, lambda n: (0,) * len(shape))
-    z_spec = pl.BlockSpec((None, L, L, Cz), lambda n: (n // reps, 0, 0, 0))
-    b_spec = pl.BlockSpec((None, H, L, L), lambda n: (n // reps, 0, 0, 0))
-    m_spec = pl.BlockSpec((None, L, 1), lambda n: (n, 0, 0))
+    tile = lambda a: a.reshape(Nc, reps, L, -1)
+    x4, R4, t4, m4 = tile(x), tile(R9), tile(t), tile(mask)
 
-    from jax.experimental.pallas import tpu as pltpu
-    kernel = functools.partial(_gablock_kernel, H=H, QK=QK, V=V, P=P, PV=PV,
-                               Cz=Cz)
-    scratch = [
-        pltpu.VMEM((L, H * _SLOT), jnp.bfloat16),   # qa
-        pltpu.VMEM((L, H * _SLOT), jnp.bfloat16),   # ka
-        pltpu.VMEM((L, H * _SLOT), jnp.bfloat16),   # vvp
-        pltpu.VMEM((L, H * _SLOT), jnp.bfloat16),   # per-head out slots
-        pltpu.VMEM((L, H * _SLOT), jnp.bfloat16),   # p2n
-    ]
-    return pl.pallas_call(
+    grid = (Nc, reps // RT)
+    blk = lambda d: pl.BlockSpec((None, RT, L, d), lambda n, j: (n, j, 0, 0))
+    z_spec = pl.BlockSpec((None, L, L, Cz), lambda n, j: (n, 0, 0, 0))
+    b_spec = pl.BlockSpec((None, H, L, L), lambda n, j: (n, 0, 0, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
+
+    kernel = functools.partial(_gablock_kernel, RT=RT, H=H, QK=QK, V=V,
+                               P=P, PV=PV, Cz=Cz)
+    w_names = ('w_pts', 's_q', 's_k', 's_v', 'b_q', 'b_k', 'pool',
+               'wout', 'bout', 'ln1', 'wm1', 'wm2', 'wm3', 'bm', 'ln2')
+    out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            row(F), row(9), row(3), z_spec, b_spec, m_spec,
-            const(wb['wqkvp'].shape), const(wb['aug'].shape),
-            const(wb['pool'].shape), const(wb['vpack'].shape),
-            const(wb['wout'].shape), const(wb['bout'].shape),
-            const(wb['ln1'].shape), const(wb['wm1'].shape),
-            const(wb['wm2'].shape), const(wb['wm3'].shape),
-            const(wb['bm'].shape), const(wb['ln2'].shape),
-        ],
-        out_specs=row(F),
-        out_shape=jax.ShapeDtypeStruct((N, L, F), jnp.float32),
-        scratch_shapes=scratch,
+        in_specs=[blk(F), blk(9), blk(3), z_spec, b_spec, blk(1)]
+                 + [const(wb[n].shape) for n in w_names],
+        out_specs=blk(F),
+        out_shape=jax.ShapeDtypeStruct((Nc, reps, L, F), jnp.float32),
         interpret=interpret,
-    )(x, R9, t, z, bias, mask,
-      wb['wqkvp'], wb['aug'], wb['pool'], wb['vpack'],
-      wb['wout'], wb['bout'], wb['ln1'], wb['wm1'], wb['wm2'], wb['wm3'],
-      wb['bm'], wb['ln2'])
+    )(x4, R4, t4, z, bias, m4, *(wb[n] for n in w_names))
+    return out.reshape(N, L, F)
 
 
 def build_encoder_weights(enc_params, num_layers: int, dtype=jnp.bfloat16):
@@ -290,12 +288,13 @@ def build_encoder_weights(enc_params, num_layers: int, dtype=jnp.bfloat16):
 
 
 def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
-                        reps: int = 1, interpret: bool = False):
+                        reps: int = 1, rt=None, interpret: bool = False):
     """Run the whole GAEncoder stack through the fused per-layer kernel.
 
-    Signature mirrors GAEncoder.__call__: R (N, L, 3, 3); t (N, L, 3);
-    x (N, L, F) node features; z per-complex pair features; ``biases`` the
-    per-layer head-major pair biases from precompute_encoder_pair_biases.
+    Signature mirrors GAEncoder.__call__: R (N, L, 3, 3) or a planar tuple;
+    t (N, L, 3); x (N, L, F) node features; z per-complex pair features;
+    ``biases`` the per-layer head-major pair biases from
+    precompute_encoder_pair_biases.
     """
     N, L = x.shape[:2]
     if isinstance(R, (tuple, list)):               # planar rotation tuple
@@ -308,5 +307,6 @@ def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
     z = z.astype(jnp.bfloat16)
     for i, wb in enumerate(weight_bundles):
         x = fused_gablock_layer(x, R9, t, z, biases[i].astype(jnp.bfloat16),
-                                mask_f, wb, reps=reps, interpret=interpret)
+                                mask_f, wb, reps=reps, rt=rt,
+                                interpret=interpret)
     return x
