@@ -121,12 +121,12 @@ class DiffAbNet(nn.Module):
     def denoise_step(self, v_t, p_t, s_t, res_feat, pair_feat, beta,
                      mask_generate, mask_res, pair_biases=None, fast_weights=None,
                      use_pallas=None, reps: int = 1, fused_encoder_fn=None,
-                     fuse_p2n: bool = False):
+                     fuse_p2n: bool = False, head_weights=None):
         return self.eps_net(v_t, p_t, s_t, res_feat, pair_feat, beta,
                             mask_generate, mask_res, pair_biases=pair_biases,
                             fast_weights=fast_weights, use_pallas=use_pallas,
                             reps=reps, fused_encoder_fn=fused_encoder_fn,
-                            fuse_p2n=fuse_p2n)
+                            fuse_p2n=fuse_p2n, head_weights=head_weights)
 
     def __call__(self, batch):
         """Init-only path touching every submodule (encode + one denoise)."""
@@ -280,10 +280,13 @@ class DiffAb:
         # the fused pallas path (one einsum per layer per complex instead of
         # per step). The einsum path computes the bias inline (XLA fusion
         # measured faster than reading a hoisted (N, L, L, H) tensor).
-        pair_biases = fast_weights = fused_fn = None
+        pair_biases = fast_weights = fused_fn = head_weights = None
         if self._use_pallas:
+            from ..nn.epsilon_net import precompute_head_weights
             from ..nn.ipa import (precompute_encoder_fast_weights,
                                   precompute_encoder_pair_biases)
+            head_weights = precompute_head_weights(
+                params['params']['eps_net'], dtype=self.cfg.compute_dtype)
             enc_params = params['params']['eps_net']['encoder']
             pair_biases = precompute_encoder_pair_biases(
                 enc_params, pair_feat, mask_res[::reps], self.cfg.num_layers,
@@ -324,7 +327,7 @@ class DiffAb:
                 params, v_t, p_t, s_t, res_feat, pair_feat, beta,
                 mask_generate, mask_res, pair_biases, fast_weights, None, reps,
                 fused_fn, self._use_pallas,      # fuse_p2n: sampling-only path
-                method=DiffAbNet.denoise_step)
+                head_weights, method=DiffAbNet.denoise_step)
             prmsd_score = L.compute_prmsd(prmsd_logits, self.cfg.dist_min,
                                           self.cfg.dist_max)
             if self.cfg.obj == 'pred_x0':

@@ -271,3 +271,42 @@ class TestFusedBlock:
         for i in range(3):
             np.testing.assert_array_equal(np.asarray(out['s'])[i][ctx],
                                           np.asarray(batch['aa'])[0][ctx])
+
+
+class TestFusedHeads:
+    """Batched-GEMM output heads (nn/epsilon_net.py::precompute_head_weights)
+    vs the per-head flax MLP modules, through DiffAbNet.denoise_step."""
+
+    def _denoise(self, dtype, fused):
+        from helpers import make_batch
+        from ab_opt_tpu.geometry import rotation_to_so3vec
+        from ab_opt_tpu.models import DiffAb, DiffAbConfig
+        from ab_opt_tpu.models.diffab import DiffAbNet
+        from ab_opt_tpu.nn.epsilon_net import precompute_head_weights
+        batch = make_batch(np.random.default_rng(1), N=2, L=16)
+        cfg = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=4,
+                           num_layers=2, num_bins=8, dtype=dtype,
+                           ipa_impl='einsum')
+        model = DiffAb(cfg)
+        params = model.init(jax.random.key(0), batch)
+        res_feat, pair_feat, R0, p_ctx = model.encode(params, batch, True, True)
+        v = rotation_to_so3vec(R0)
+        p = model.normalize_position(p_ctx)
+        hw = (precompute_head_weights(params['params']['eps_net'],
+                                      dtype=cfg.compute_dtype)
+              if fused else None)
+        return model.net.apply(
+            params, v, p, batch['aa'], res_feat, pair_feat,
+            jnp.full((2,), 0.37), batch['generate_flag'], batch['mask'],
+            head_weights=hw, method=DiffAbNet.denoise_step)
+
+    @pytest.mark.parametrize('dtype,atol', [('float32', 3e-5),
+                                            ('bfloat16', 0.03)])
+    def test_matches_module_heads(self, dtype, atol):
+        ref = self._denoise(dtype, fused=False)
+        got = self._denoise(dtype, fused=True)
+        names = ('v_next', 'R_next', 'eps_pos', 'c_denoised', 'prmsd_logits')
+        for a, b, name in zip(got, ref, names):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=atol, err_msg=name)
