@@ -45,12 +45,18 @@ class DataLoader:
     def __init__(self, dataset: Sequence, batch_size: int,
                  collate_fn: Callable, shuffle: bool = True,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2, num_workers: int = 0):
+                 prefetch: int = 2, num_workers: int = 0,
+                 pad_partial: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # pad_partial: fill a trailing short batch by wrapping around to the
+        # start of the epoch order, so every batch has the full batch_size.
+        # Used by the sharded train loop, where the global batch must stay
+        # divisible by the dp mesh (and static shapes avoid recompiles).
+        self.pad_partial = pad_partial
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.num_workers = int(num_workers)
@@ -104,8 +110,12 @@ class DataLoader:
             self.rng.shuffle(order)
         for lo in range(0, len(order), self.batch_size):
             idxs = order[lo:lo + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
-                break
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    break
+                if self.pad_partial:
+                    fill = np.resize(order, self.batch_size - len(idxs))
+                    idxs = np.concatenate([idxs, fill])
             if self.num_workers > 0:
                 items = self._get_pool().map(_pool_fetch,
                                              [int(i) for i in idxs])

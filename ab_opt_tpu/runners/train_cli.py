@@ -65,7 +65,7 @@ def main(argv=None):
     num_workers = int(config['train'].get('num_workers', 0))
     train_loader = DataLoader(train_dataset, batch_size, collate_fn=collate,
                               shuffle=True, seed=seed,
-                              num_workers=num_workers)
+                              num_workers=num_workers, pad_partial=True)
     val_loader = DataLoader(val_dataset, batch_size, collate_fn=collate,
                             shuffle=False, seed=seed, prefetch=0)
 

@@ -39,6 +39,10 @@ def _shrink_model(m):
 def test_train_config_one_step(cfg_path, mini_sabdab, tmp_path):
     raw = yaml.safe_load(cfg_path.read_text())
     _shrink_model(raw['model'])
+    # The mini-SAbDab has too few complexes to resample crop rejections the
+    # way the real epoch does; accept every contiguous-antigen crop.
+    if 'contiguous_ratio' in raw['model']:
+        raw['model']['contiguous_ratio'] = 0.0
     raw['train']['batch_size'] = 2
     raw['train']['val_freq'] = 10_000          # no mid-run validation
     for split in ('train', 'val'):
@@ -75,8 +79,10 @@ def test_test_config_design_cli(cfg_path, tmp_path, capsys):
     patched.write_text(yaml.safe_dump(raw))
 
     from ab_opt_tpu.runners.design_cli import main
+    # --no_renumber: the example PDB is sequentially numbered and AbNumber
+    # is not installed in this environment (chains are given explicitly).
     results = main(['--pdb_path', str(PDB), '--config', str(patched),
-                    '--heavy', 'A', '--light', 'B',
+                    '--heavy', 'A', '--light', 'B', '--no_renumber',
                     '-n', '2', '-b', '2', '--no_dockq',
                     '-o', str(tmp_path / 'out'), '-s', '0'])
     assert results, f'no variants produced for {cfg_path.name}'

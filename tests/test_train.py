@@ -47,6 +47,24 @@ def test_loader_shapes(data):
     assert 'mask' in batches[0]
 
 
+def test_loader_pad_partial(data):
+    """pad_partial wraps a trailing short batch to the full batch_size so
+    every global batch stays divisible by the dp mesh (train_cli loader)."""
+    ds = TransformedDataset(data[:5], None)
+    kw = dict(batch_size=4, collate_fn=PaddingCollate(buckets=(16, 32)),
+              shuffle=False, prefetch=0)
+    plain = list(DataLoader(ds, **kw))
+    assert [b['aa'].shape[0] for b in plain] == [4, 1]
+    padded = list(DataLoader(ds, pad_partial=True, **kw))
+    assert [b['aa'].shape[0] for b in padded] == [4, 4]
+    # Wrapped rows re-use the epoch head (items 0-2 after item 4).
+    np.testing.assert_array_equal(padded[1]['aa'][1:], padded[0]['aa'][:3])
+    # Dataset smaller than batch_size still fills a whole batch.
+    tiny = list(DataLoader(TransformedDataset(data[:1], None),
+                           pad_partial=True, **kw))
+    assert [b['aa'].shape[0] for b in tiny] == [4]
+
+
 class _Flaky:
     """Module-level (picklable for the forkserver pool) flaky dataset."""
 
