@@ -224,10 +224,18 @@ class DiffAb:
         beta = self.trans_pos.sched.betas[t]
         # The fused pallas kernel has a custom VJP (ops/ipa_pallas.py), so
         # training differentiates through whichever IPA impl is configured.
+        # The batched output heads are plain jnp ops built from the params
+        # (concat/stack/pad), so autodiff carries their gradients back to
+        # the per-head Dense kernels.
+        head_weights = None
+        if self._use_pallas:
+            from ..nn.epsilon_net import precompute_head_weights
+            head_weights = precompute_head_weights(
+                params['params']['eps_net'], dtype=cfg.compute_dtype)
         v_pred, R_pred, p_pred, c_denoised, prmsd_logits = self.net.apply(
             params, v_noisy, p_noisy, s_noisy, res_feat, pair_feat, beta,
             mask_generate, mask_res, None, None,
-            method=DiffAbNet.denoise_step)
+            head_weights=head_weights, method=DiffAbNet.denoise_step)
 
         if cfg.obj == 'pred_x0':
             p_true, pred_p0 = p_0, p_pred

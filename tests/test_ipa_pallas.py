@@ -310,3 +310,31 @@ class TestFusedHeads:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        atol=atol, err_msg=name)
+
+    def test_training_grad_parity(self):
+        """loss() with fused heads (the TPU train path) must match the
+        module-head gradients: autodiff flows through the concat/stack/pad
+        in precompute_head_weights back to the per-head Dense kernels."""
+        from helpers import make_batch
+        from ab_opt_tpu.models import DiffAb, DiffAbConfig
+        batch = make_batch(np.random.default_rng(3), N=2, L=16)
+        cfg = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=4,
+                           num_layers=2, num_bins=8, dtype='float32',
+                           ipa_impl='einsum')
+        model = DiffAb(cfg)
+        params = model.init(jax.random.key(0), batch)
+
+        def total(p, fused):
+            model._use_pallas = fused   # heads only; encoder stays einsum
+            losses = model.loss(p, batch, jax.random.key(7))
+            return sum(jnp.mean(v) for v in losses.values())
+
+        g_ref = jax.grad(lambda p: total(p, False))(params)
+        g_fused = jax.grad(lambda p: total(p, True))(params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_fused = jax.tree_util.tree_leaves(g_fused)
+        assert len(flat_ref) == len(flat_fused)
+        for (path, a), b in zip(flat_ref, flat_fused):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
+                err_msg=jax.tree_util.keystr(path))
