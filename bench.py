@@ -30,8 +30,36 @@ WARMUP = 1
 ITERS = 3
 
 
+def _wait_for_backend(max_wait_s: float = 600.0):
+    """Wait out a flapping TPU tunnel before touching jax in-process.
+
+    A TPU plugin whose transport is down can make backend init HANG (not
+    raise), which a driver-run bench cannot recover from. Probe in a
+    subprocess (killable on hang) until jax.devices() answers, then let the
+    real in-process init proceed. Gives up quietly after ``max_wait_s`` so a
+    healthy CPU-only environment still benches.
+    """
+    import subprocess
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; assert jax.devices()'],
+                timeout=75, capture_output=True)
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print('bench: backend probe never succeeded; proceeding anyway',
+                  file=sys.stderr)
+            return
+        time.sleep(30)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _wait_for_backend()
     import jax
 
     from ab_opt_tpu.models import DiffAb, DiffAbConfig
