@@ -21,6 +21,7 @@ class CustomDataset:
         self.transform = transform
         self.cache_dir = os.path.join(structure_dir, 'structure_cache')
         os.makedirs(self.cache_dir, exist_ok=True)
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
         self.ids = []
@@ -43,6 +44,16 @@ class CustomDataset:
 
     def __len__(self):
         return len(self.ids)
+
+    def get(self, index, salt: tuple = (0, 0)):
+        """Deterministic fetch keyed by (seed, idx, salt); see
+        TransformedDataset.get."""
+        with open(os.path.join(self.cache_dir, self.ids[index] + '.pkl'), 'rb') as f:
+            data = pickle.load(f)
+        if self.transform is not None:
+            rng = np.random.default_rng((self.seed, index) + tuple(salt))
+            data = self.transform(data, rng=rng)
+        return data
 
     def __getitem__(self, index):
         with open(os.path.join(self.cache_dir, self.ids[index] + '.pkl'), 'rb') as f:

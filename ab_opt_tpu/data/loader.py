@@ -25,20 +25,35 @@ def _pool_init(dataset, seed):
     _worker_state['seed'] = seed
 
 
-def _pool_fetch(idx: int, max_retries: int = 32):
-    """Worker-side safe getitem (DISTVIOLATION resampling, sabdab.py:502-512)."""
-    ds = _worker_state['dataset']
-    rng = np.random.default_rng((_worker_state['seed'], idx))
+def _fetch_with_resample(ds, idx: int, epoch: int, seed: int,
+                         max_retries: int = 32):
+    """Safe getitem: DISTVIOLATION resamples a neighbor (sabdab.py:502-512).
+
+    Fully deterministic in (seed, idx, epoch) — the retry attempt number
+    salts both the neighbor hop and the transform rng, so a rejected crop
+    retries with fresh randomness even on a 1-item dataset.
+    """
+    rng = np.random.default_rng((seed, idx, epoch))
     n = len(ds)
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         try:
-            item = ds[idx]
+            if hasattr(ds, 'get'):
+                item = ds.get(idx, (epoch, attempt))
+            else:
+                item = ds[idx]
         except DISTVIOLATION:
             item = None
         if item is not None:
             return item
         idx = (idx + int(rng.integers(1, 16))) % n
     raise RuntimeError('Too many consecutive data violations.')
+
+
+def _pool_fetch(args):
+    """Worker-side fetch; (idx, epoch) comes from the parent loader."""
+    idx, epoch = args
+    return _fetch_with_resample(_worker_state['dataset'], idx, epoch,
+                                _worker_state['seed'])
 
 
 class DataLoader:
@@ -62,6 +77,7 @@ class DataLoader:
         self.num_workers = int(num_workers)
         self._pool = None
         self._seed = seed
+        self._epoch = 0
 
     def _get_pool(self):
         if self._pool is None:
@@ -91,20 +107,9 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _safe_getitem(self, idx: int, max_retries: int = 32):
-        """Resample a neighbor on DISTVIOLATION / None (ref sabdab.py:502-512)."""
-        n = len(self.dataset)
-        for _ in range(max_retries):
-            try:
-                item = self.dataset[idx]
-            except DISTVIOLATION:
-                item = None
-            if item is not None:
-                return item
-            idx = (idx + int(self.rng.integers(1, 16))) % n
-        raise RuntimeError('Too many consecutive data violations.')
-
     def _batches(self) -> Iterator:
+        epoch = self._epoch
+        self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -117,10 +122,11 @@ class DataLoader:
                     fill = np.resize(order, self.batch_size - len(idxs))
                     idxs = np.concatenate([idxs, fill])
             if self.num_workers > 0:
-                items = self._get_pool().map(_pool_fetch,
-                                             [int(i) for i in idxs])
+                items = self._get_pool().map(
+                    _pool_fetch, [(int(i), epoch) for i in idxs])
             else:
-                items = [self._safe_getitem(int(i)) for i in idxs]
+                items = [_fetch_with_resample(self.dataset, int(i), epoch,
+                                              self._seed) for i in idxs]
             yield self.collate_fn(items)
 
     def __iter__(self):
@@ -158,25 +164,33 @@ def inf_iterator(loader: DataLoader) -> Iterator:
 
 
 class TransformedDataset:
-    """Apply a transform pipeline per item with per-item deterministic rng."""
+    """Apply a transform pipeline per item with per-item deterministic rng.
+
+    Augmentation randomness is keyed by (seed, idx, salt): the DataLoader
+    passes (epoch, attempt) as the salt via :meth:`get`, so the stream is
+    identical run-to-run regardless of which pool worker serves which index
+    (worker-local state would differ with pool scheduling). Bare
+    ``dataset[idx]`` keys by (seed, idx, 0, 0).
+    """
 
     def __init__(self, items: Sequence, transform: Optional[Callable],
                  seed: int = 0):
         self.items = items
         self.transform = transform
         self.seed = seed
-        self._counter = 0   # salts augmentation randomness across epochs
 
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, idx: int):
+    def get(self, idx: int, salt: tuple = (0, 0)):
         import copy
         item = self.items[idx]
         if item is None:
             return None
         if self.transform is None:
             return item
-        self._counter += 1
-        rng = np.random.default_rng((self.seed, idx, self._counter))
+        rng = np.random.default_rng((self.seed, idx) + tuple(salt))
         return self.transform(copy.deepcopy(item), rng=rng)
+
+    def __getitem__(self, idx: int):
+        return self.get(idx)

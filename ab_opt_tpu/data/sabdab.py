@@ -224,6 +224,7 @@ class SAbDabDataset:
         self._load_structures(reset, num_workers)
         self._load_clusters(reset)
         self._load_split(split, split_seed)
+        self.split_seed = split_seed
         self._rng = np.random.default_rng(split_seed)
 
     # ----------------------------------------------------------- structures
@@ -343,6 +344,21 @@ class SAbDabDataset:
 
     def __len__(self):
         return len(self.ids_in_split)
+
+    def get(self, index, salt: tuple = (0, 0)):
+        """Deterministic fetch: augmentation rng keyed by (seed, idx, salt)
+        — the DataLoader passes (epoch, attempt), so the stream does not
+        depend on pool-worker scheduling or per-process rng state."""
+        sid = self.ids_in_split[index]
+        data = self.get_structure(sid)
+        if self.must_have_antigen and data.get('antigen') is None:
+            return self.get((index + 1) % len(self), salt)
+        if self.transform is not None:
+            # DISTVIOLATION propagates; the DataLoader resamples a neighbor.
+            rng = np.random.default_rng(
+                (self.split_seed, index) + tuple(salt))
+            data = self.transform(data, rng=rng)
+        return data
 
     def __getitem__(self, index):
         sid = self.ids_in_split[index]

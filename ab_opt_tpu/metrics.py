@@ -83,20 +83,22 @@ BLOSUM62 = np.array([[int(x) for x in row.split()]
                      for row in _B62.strip().splitlines()])
 
 
-def global_align_pairs(seq_a, seq_b, gap_open: float = -10.0,
-                       gap_extend: float = -0.5):
-    """Needleman-Wunsch global alignment of two aa-index sequences.
+def _gotoh_align(seq_a, seq_b, gap_open: float, gap_extend: float):
+    """Affine-gap Gotoh DP with BLOSUM62 + greedy traceback.
 
-    Affine-gap Gotoh DP with BLOSUM62 (the same scoring the reference uses
-    via Biopython globalds, similarity.py:59-96 / DockQ's needle-based
-    fix_numbering.pl). Returns ``(pairs, score)`` where ``pairs`` is the
-    list of matched index pairs [(i, j), ...] in ascending order.
+    The shared core of the two public wrappers below (the same scoring the
+    reference uses via Biopython globalds, similarity.py:59-96 / DockQ's
+    needle-based fix_numbering.pl). Returns ``(pairs, score, leftover)``:
+    ``pairs`` is the matched index pairs [(i, j), ...] ascending, ``score``
+    the alignment score, ``leftover`` the residues left unconsumed when the
+    traceback hit a sequence edge (counted as aligned-but-unmatched by the
+    identity wrapper).
     """
     a = np.asarray(seq_a, np.int64)
     b = np.asarray(seq_b, np.int64)
     n, m = len(a), len(b)
     if n == 0 or m == 0:
-        return [], 0.0
+        return [], 0.0, n + m
     NEG = -1e9
     M = np.full((n + 1, m + 1), NEG)
     X = np.full((n + 1, m + 1), NEG)   # gap in b
@@ -127,48 +129,23 @@ def global_align_pairs(seq_a, seq_b, gap_open: float = -10.0,
         else:
             j -= 1
     pairs.reverse()
+    return pairs, score, i + j
+
+
+def global_align_pairs(seq_a, seq_b, gap_open: float = -10.0,
+                       gap_extend: float = -0.5):
+    """Matched index pairs [(i, j), ...] and score of the global alignment
+    of two aa-index sequences (see :func:`_gotoh_align`)."""
+    pairs, score, _ = _gotoh_align(seq_a, seq_b, gap_open, gap_extend)
     return pairs, score
 
 
 def global_align_identity(seq_a, seq_b, gap_open: float = -10.0,
                           gap_extend: float = -0.5) -> float:
-    """Needleman-Wunsch (affine-ish, linear approx) sequence identity in
-    [0, 1] between two aa-index sequences (ref similarity.py:59-96 uses
-    Biopython globalds with BLOSUM62, -10/-0.5)."""
+    """Sequence identity in [0, 1] over the global alignment (ref
+    similarity.py:59-96 uses Biopython globalds with BLOSUM62, -10/-0.5)."""
     a = np.asarray(seq_a, np.int64)
     b = np.asarray(seq_b, np.int64)
-    n, m = len(a), len(b)
-    if n == 0 or m == 0:
-        return 0.0
-    NEG = -1e9
-    # Affine-gap Gotoh DP.
-    M = np.full((n + 1, m + 1), NEG)
-    X = np.full((n + 1, m + 1), NEG)   # gap in b
-    Y = np.full((n + 1, m + 1), NEG)   # gap in a
-    M[0, 0] = 0.0
-    for i in range(1, n + 1):
-        X[i, 0] = gap_open + (i - 1) * gap_extend
-    for j in range(1, m + 1):
-        Y[0, j] = gap_open + (j - 1) * gap_extend
-    for i in range(1, n + 1):
-        s_row = BLOSUM62[a[i - 1]]
-        for j in range(1, m + 1):
-            X[i, j] = max(M[i - 1, j] + gap_open, X[i - 1, j] + gap_extend)
-            Y[i, j] = max(M[i, j - 1] + gap_open, Y[i, j - 1] + gap_extend)
-            best_prev = max(M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1])
-            M[i, j] = best_prev + s_row[b[j - 1]]
-    # Traceback for identity count (choose best end state greedily).
-    i, j = n, m
-    ident = aligned = 0
-    while i > 0 and j > 0:
-        best = max(M[i, j], X[i, j], Y[i, j])
-        if best == M[i, j]:
-            ident += int(a[i - 1] == b[j - 1])
-            aligned += 1
-            i, j = i - 1, j - 1
-        elif best == X[i, j]:
-            i -= 1
-        else:
-            j -= 1
-    aligned += i + j
-    return ident / max(aligned, 1)
+    pairs, _, leftover = _gotoh_align(a, b, gap_open, gap_extend)
+    ident = sum(int(a[i] == b[j]) for i, j in pairs)
+    return ident / max(len(pairs) + leftover, 1)

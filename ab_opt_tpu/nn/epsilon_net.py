@@ -42,7 +42,9 @@ def precompute_head_weights(eps_params, dtype=jnp.bfloat16):
     GEMM, layers 2/3 of all four heads become (4, M, F) batched dots with
     the final outputs zero-padded to a common width. Weights are constant
     across diffusion steps, so samplers build this once outside the
-    reverse scan (sampling path only; training uses the flax modules).
+    reverse scan. The TPU training path uses it too (DiffAb.loss): the
+    stacking is plain concat/pad, so autodiff carries gradients back to
+    the per-head Dense kernels. CPU/parity paths use the flax modules.
     """
     def kb(sub, i):
         d = sub[f'Dense_{i}']

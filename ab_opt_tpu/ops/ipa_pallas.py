@@ -74,10 +74,12 @@ def _pick_tile(L: int) -> int:
 # --------------------------------------------------------------------------- #
 
 
-def _fwd_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, alphas_ref, *, H):
-    """Phase-separated: all logits dots back-to-back, ONE stacked softmax,
-    then all value dots — consecutive independent MXU ops pipeline without
-    the per-head dot->VPU->dot round trips of the interleaved form."""
+def _attention_body(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, H):
+    """Phase-separated attention body shared by the forward kernels: all
+    logits dots back-to-back, ONE stacked softmax, then all value dots —
+    consecutive independent MXU ops pipeline without the per-head
+    dot->VPU->dot round trips of the interleaved form. Writes the value
+    aggregation to ``out_ref``; returns (alpha f32, alpha value-dtype)."""
     f32 = jnp.float32
     logits = []
     for h in range(H):
@@ -87,13 +89,18 @@ def _fwd_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, alphas_ref, *, H):
             preferred_element_type=f32))                    # (TI, L)
     alpha = jax.nn.softmax(
         jnp.stack(logits, 0) + bias_ref[...].astype(f32), axis=-1)
-    alphas_ref[...] = alpha.astype(alphas_ref.dtype)
-    ab = alpha.astype(vvp_ref.dtype)
+    ab = alpha.astype(vvp_ref.dtype)                        # (H, TI, L)
     for h in range(H):
         sv = slice(h * _DV, (h + 1) * _DV)
         out_ref[:, sv] = jnp.dot(
             ab[h], vvp_ref[:, sv],
             preferred_element_type=f32).astype(out_ref.dtype)
+    return alpha, ab
+
+
+def _fwd_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, alphas_ref, *, H):
+    alpha, _ = _attention_body(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, H)
+    alphas_ref[...] = alpha.astype(alphas_ref.dtype)
 
 
 def _attention_fwd_call(qa, ka, vvp, bias, interpret: bool, reps: int = 1):
@@ -134,26 +141,12 @@ def _attention_fwd_call(qa, ka, vvp, bias, interpret: bool, reps: int = 1):
 
 def _fwd_p2n_kernel(qa_ref, ka_ref, vvp_ref, bias_ref, z_ref, out_ref,
                     p2n_ref, *, H):
-    f32 = jnp.float32
-    logits = []
-    for h in range(H):
-        sl = slice(h * _DA, (h + 1) * _DA)
-        logits.append(jax.lax.dot_general(
-            qa_ref[:, sl], ka_ref[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32))                    # (TI, L)
-    alpha = jax.nn.softmax(
-        jnp.stack(logits, 0) + bias_ref[...].astype(f32), axis=-1)
-    ab = alpha.astype(vvp_ref.dtype)                        # (H, TI, L)
-    for h in range(H):
-        sv = slice(h * _DV, (h + 1) * _DV)
-        out_ref[:, sv] = jnp.dot(
-            ab[h], vvp_ref[:, sv],
-            preferred_element_type=f32).astype(out_ref.dtype)
+    _, ab = _attention_body(qa_ref, ka_ref, vvp_ref, bias_ref, out_ref, H)
     # p2n[l, h, c] = sum_j alpha[h, l, j] z[l, j, c]: batched dot over the
     # query rows (z's block is per-complex — resident across all replicas).
     p2n = jax.lax.dot_general(
         ab.transpose(1, 0, 2), z_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32)                         # (TI, H, Cz)
+        preferred_element_type=jnp.float32)                 # (TI, H, Cz)
     p2n_ref[...] = p2n.astype(p2n_ref.dtype)
 
 

@@ -196,14 +196,22 @@ def _align_model_numbering(model, native):
     chains_m = _chain_seq_indices(model)
     chains_n = _chain_seq_indices(native)
 
+    pair_cache = {}
+
+    def aligned_pairs(cm_id, cn_id):
+        key = (cm_id, cn_id)
+        if key not in pair_cache:
+            pair_cache[key] = global_align_pairs(
+                model['aa'][chains_m[cm_id]], native['aa'][chains_n[cn_id]])
+        return pair_cache[key]
+
     if set(chains_m) == set(chains_n):
         pairing = [(c, c) for c in chains_m]
     else:
         scored = []
-        for cm_id, idx_m in chains_m.items():
-            for cn_id, idx_n in chains_n.items():
-                _, score = global_align_pairs(model['aa'][idx_m],
-                                              native['aa'][idx_n])
+        for cm_id in chains_m:
+            for cn_id in chains_n:
+                _, score = aligned_pairs(cm_id, cn_id)
                 scored.append((score, cm_id, cn_id))
         scored.sort(reverse=True)
         pairing, used_m, used_n = [], set(), set()
@@ -221,10 +229,14 @@ def _align_model_numbering(model, native):
     matched = np.zeros(len(chain_id), bool)
     for cm_id, cn_id in pairing:
         idx_m, idx_n = chains_m[cm_id], chains_n[cn_id]
-        pairs, _ = global_align_pairs(model['aa'][idx_m], native['aa'][idx_n])
+        # The whole model chain takes its paired native chain's id — an
+        # unmatched (inserted) residue must still land in its own chain's
+        # group, or its intra-chain contacts would count as inter-group.
+        for gi in idx_m:
+            chain_id[gi] = cn_id
+        pairs, _ = aligned_pairs(cm_id, cn_id)
         for i_m, j_n in pairs:
             gi, gj = idx_m[i_m], idx_n[j_n]
-            chain_id[gi] = native['chain_id'][gj]
             resseq[gi] = int(native['resseq'][gj])
             icode[gi] = native['icode'][gj]
             matched[gi] = True

@@ -173,7 +173,9 @@ class Trainer:
         except (AttributeError, TypeError):
             logger.warning('Could not set learning rate dynamically')
 
-    def train_step(self, batch_np: Dict, key) -> Dict[str, float]:
+    def train_step(self, batch_np: Dict, key) -> Dict:
+        """One optimizer step; returns the loss dict as device scalars
+        (callers ``float()`` them at log time)."""
         return self._train_step_device(batch_np, to_device_batch(batch_np), key)
 
     def _train_step_device(self, batch_np: Dict, batch: Dict, key,
@@ -186,9 +188,6 @@ class Trainer:
         self.params, self.opt_state, losses = self.step_fn(
             self.params, self.opt_state, batch, key)
         finite = losses.pop('_finite')
-        if self._wandb is not None:
-            self._wandb.log({f'train/{k}': float(v) for k, v in losses.items()},
-                            step=self.iteration)
         self._pending_checks.append(
             (self.iteration, finite, batch_np, losses))
         if not defer_nan_check:
@@ -205,6 +204,11 @@ class Trainer:
             losses = {k: float(v) for k, v in losses.items()}
             self._dump_nan_state(batch_np, losses, iteration=it)
             raise FloatingPointError(f'Non-finite loss at it {it}: {losses}')
+        if self._wandb is not None:
+            # Logged when the step's check drains (one step late under
+            # defer_nan_check) so float() never blocks the next dispatch.
+            self._wandb.log({f'train/{k}': float(v) for k, v in losses.items()},
+                            step=it)
 
     def flush_nan_checks(self):
         while self._pending_checks:

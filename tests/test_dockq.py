@@ -132,6 +132,35 @@ class TestDockQ:
                             align_numbering=False)
         assert broken['fnat'] == 0.0
 
+    def test_unmatched_residue_keeps_paired_chain_group(self, two_chain_pdb):
+        """An inserted model residue with no aligned native partner must
+        still take its chain's paired native id — otherwise it lands in the
+        wrong contact group and its intra-chain contacts count as
+        inter-group (inflating fnonnat)."""
+        from ab_opt_tpu.tools.dockq.dockq import _align_model_numbering
+        from ab_opt_tpu.data.pdb import parse_pdb
+        data, native, tmp = two_chain_pdb
+        ins = {k: (v.copy() if isinstance(v, np.ndarray) else list(v))
+               for k, v in data.items()}
+        # Duplicate the first 'A' residue as an insertion, rename chains.
+        i0 = next(i for i, c in enumerate(data['chain_id']) if c == 'A')
+        for k, v in list(ins.items()):
+            row = v[i0:i0 + 1]
+            ins[k] = (np.concatenate([v[:i0 + 1], row, v[i0 + 1:]])
+                      if isinstance(v, np.ndarray)
+                      else v[:i0 + 1] + list(row) + v[i0 + 1:])
+        ins['resseq'] = np.asarray(ins['resseq']) + 500
+        ins['resseq'][i0 + 1] += 900     # unalignable duplicate
+        ins['chain_id'] = ['X' if c == 'A' else 'Y' for c in ins['chain_id']]
+        p_ins = tmp / 'inserted.pdb'
+        save_pdb({k: np.asarray(v) if not isinstance(v, np.ndarray) else v
+                  for k, v in ins.items()}, str(p_ins))
+        model, _ = parse_pdb(str(p_ins))
+        native_data, _ = parse_pdb(str(native))
+        aligned = _align_model_numbering(model, native_data)
+        # Every model residue maps into a native chain id; none keep X/Y.
+        assert set(aligned['chain_id']) <= set(native_data['chain_id'])
+
     def test_rigid_motion_of_whole_complex_is_perfect(self, two_chain_pdb):
         """A global rigid transform must not change DockQ (alignment-based)."""
         data, native, tmp = two_chain_pdb
