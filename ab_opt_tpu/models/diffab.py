@@ -18,6 +18,7 @@ vmap/shard the trajectories across chips (see ab_opt_tpu.parallel).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -313,9 +314,13 @@ class DiffAb:
                                                 self.cfg.num_layers)
                 interp = jax.default_backend() != 'tpu'
                 z_c = pair_feat
+                # Replica-tile override for on-chip tuning sweeps
+                # (scripts/bench_fused.py); default picks by VMEM budget.
+                rt_env = os.environ.get('AB_OPT_FUSED_RT')
+                rt = int(rt_env) if rt_env else None
                 fused_fn = lambda R, t, x, m: fused_encoder_apply(
                     bundles, R, t, x, z_c, pair_biases, m, reps=reps,
-                    interpret=interp)
+                    rt=rt, interpret=interp)
             else:
                 fast_weights = precompute_encoder_fast_weights(
                     enc_params, self.cfg.num_layers,
