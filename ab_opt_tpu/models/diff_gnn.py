@@ -235,9 +235,16 @@ class DiffGNN:
             params, res_feat, noised_coord, ctx_adj, inter_adj, condition,
             ctx_edge_attr, hyd, chg, deterministic,
             method=DiffGNNNet.denoise, rngs=rngs)
-        R_pred = construct_3d_basis(z[..., BBHeavyAtom.CA, :],
-                                    z[..., BBHeavyAtom.C, :],
-                                    z[..., BBHeavyAtom.N, :])
+        # Padding rows carry all-zero coords; construct_3d_basis would
+        # normalize a zero vector there and the NaN *gradient* survives the
+        # masked rot loss (NaN*0=NaN in the backward). Substitute a
+        # well-conditioned idealized backbone on invalid rows — their value
+        # never enters any loss (masked) or the sampled output (gen-gated).
+        bb = jnp.broadcast_to(self._ideal_ala_bb / self._pos_scale, z.shape)
+        z_safe = jnp.where(mask[:, :, None, None], z, bb)
+        R_pred = construct_3d_basis(z_safe[..., BBHeavyAtom.CA, :],
+                                    z_safe[..., BBHeavyAtom.C, :],
+                                    z_safe[..., BBHeavyAtom.N, :])
         p_pred = z[..., BBHeavyAtom.CA, :]
         return aa_logits, z, R_pred, p_pred
 
@@ -274,7 +281,11 @@ class DiffGNN:
         loss_dict['bb_pos'] = L.masked_mean(
             jnp.sum((z - coord_n) ** 2, axis=-1).mean(-1), gm)
         logp = jax.nn.log_softmax(aa_logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, aa[..., None], axis=-1)[..., 0]
+        # Padding rows carry aa=21 (outside the logits' 21 classes 0..20);
+        # take_along_axis fills OOB gathers with NaN, which masked_mean
+        # cannot mask out (NaN*0=NaN) — clamp before gathering.
+        aa_safe = jnp.clip(aa, 0, aa_logits.shape[-1] - 1)
+        ce = -jnp.take_along_axis(logp, aa_safe[..., None], axis=-1)[..., 0]
         loss_dict['seq'] = L.masked_mean(ce, gm)
         acc = (aa_logits.argmax(-1) == aa).astype(jnp.float32)
         loss_dict['accuracy'] = jax.lax.stop_gradient(L.masked_mean(acc, gm))

@@ -51,17 +51,24 @@ def main():
                     help='memorization check: train on ONE complex with a '
                          'fixed CDR-H3 mask (no augmentation); AAR must '
                          'approach 1.0')
+    ap.add_argument('--model', choices=('diffab', 'diff_gnn'),
+                    default='diffab',
+                    help='diff_gnn = the AbDesign graph path (hotspot patch '
+                         '+ hydropathy/charge labels, EGNN denoiser)')
     args = ap.parse_args()
 
     import jax
     from ab_opt_tpu.data.collate import PaddingCollate
     from ab_opt_tpu.data.structures import preprocess_antibody_structure
     from ab_opt_tpu.data.transforms import get_transform
-    from ab_opt_tpu.models import DiffAb, DiffAbConfig
+    from ab_opt_tpu.models import DiffAb, DiffAbConfig, get_model
     from ab_opt_tpu.train import Trainer
 
     os.makedirs(args.out, exist_ok=True)
     complexes = COMPLEXES[:1] if args.overfit else COMPLEXES
+    if args.model == 'diff_gnn':
+        # The hotspot patch crop needs an antigen; drop the bare Fv.
+        complexes = [c for c in complexes if c[0] != '3QHF']
     structures = []
     for sid, path, h, l in complexes:
         s = preprocess_antibody_structure(
@@ -70,20 +77,41 @@ def main():
         structures.append(s)
     print(f'parsed {len(structures)} complexes', flush=True)
 
-    train_tfm = get_transform([
-        ({'type': 'mask_single_cdr', 'selection': 'CDR3',
-          'augmentation': False} if args.overfit else
-         {'type': 'mask_single_cdr', 'augmentation': True}),
-        {'type': 'merge_chains'},
-        {'type': 'patch_around_anchor', 'initial_patch_size': 96,
-         'antigen_size': 64},
-    ])
-    eval_tfm = get_transform([
-        {'type': 'mask_single_cdr', 'selection': 'CDR3', 'augmentation': False},
-        {'type': 'merge_chains'},
-        {'type': 'patch_around_anchor', 'initial_patch_size': 96,
-         'antigen_size': 64},
-    ])
+    if args.model == 'diff_gnn':
+        # AbDesign graph-path pipeline (ref configs/train/codesign_single_gnn
+        # .yml): hotspot-labelled patch crop + hydropathy/charge labels.
+        def gnn_tfms(mask_tfm, drop_prob):
+            return get_transform([
+                mask_tfm,
+                {'type': 'merge_chains'},
+                {'type': 'patch_around_anchor_hotspot',
+                 'initial_patch_size': 96, 'antigen_size': 64,
+                 'max_nb_hotspots': 3},
+                {'type': 'aa_label', 'hydropathy': True, 'charge': True,
+                 'drop_prob': drop_prob},
+            ])
+        train_tfm = gnn_tfms(
+            {'type': 'mask_single_cdr', 'selection': 'CDR3',
+             'augmentation': False} if args.overfit else
+            {'type': 'mask_single_cdr', 'augmentation': True}, 0.3)
+        eval_tfm = gnn_tfms({'type': 'mask_single_cdr', 'selection': 'CDR3',
+                             'augmentation': False}, 0.0)
+    else:
+        train_tfm = get_transform([
+            ({'type': 'mask_single_cdr', 'selection': 'CDR3',
+              'augmentation': False} if args.overfit else
+             {'type': 'mask_single_cdr', 'augmentation': True}),
+            {'type': 'merge_chains'},
+            {'type': 'patch_around_anchor', 'initial_patch_size': 96,
+             'antigen_size': 64},
+        ])
+        eval_tfm = get_transform([
+            {'type': 'mask_single_cdr', 'selection': 'CDR3',
+             'augmentation': False},
+            {'type': 'merge_chains'},
+            {'type': 'patch_around_anchor', 'initial_patch_size': 96,
+             'antigen_size': 64},
+        ])
 
     rng = np.random.default_rng(0)
     collate = PaddingCollate(buckets=(96, 128, 160, 192))
@@ -98,17 +126,32 @@ def main():
     eval_items = [eval_tfm(copy.deepcopy(s), rng=np.random.default_rng(1))
                   for s in structures]
 
-    if args.dims == 'production':
+    if args.model == 'diff_gnn':
+        if args.dims == 'production':
+            # Reference: AbDesign/configs/train/codesign_single_gnn.yml
+            # (128-dim embeddings, 128 hidden, 6 EGNN layers, 100 steps).
+            model = get_model({'type': 'diff_gnn', 'res_feat_dim': 128,
+                               'edge_feat_dim': 64, 'hidden_size': 128,
+                               'num_steps': 100, 'n_layers': 6})
+        else:
+            model = get_model({'type': 'diff_gnn', 'res_feat_dim': 64,
+                               'edge_feat_dim': 32, 'hidden_size': 64,
+                               'num_steps': 50, 'n_layers': 3})
+        weights = {'rot': 1.0, 'pos': 1.0, 'bb_pos': 1.0, 'seq': 1.0}
+    elif args.dims == 'production':
         # Reference training config: AbDock/configs/train/dock_single.yml
         # (res 128 / pair 64, 6 IPA layers, 100 diffusion steps).
         model = DiffAb(DiffAbConfig(dtype='bfloat16'))
+        weights = {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
+                   'prmsd': 0.1}
     else:
         model = DiffAb(DiffAbConfig(
             res_feat_dim=64, pair_feat_dim=32, num_layers=3, num_steps=50,
             num_bins=16, dtype='bfloat16'))
+        weights = {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
+                   'prmsd': 0.1}
     train_cfg = {
-        'loss_weights': {'rot': 1.0, 'pos': 1.0, 'seq': 1.0, 'dist': 1.0,
-                         'prmsd': 0.1},
+        'loss_weights': weights,
         'max_iters': args.steps, 'val_freq': args.eval_every,
         'batch_size': args.batch, 'max_grad_norm': 100.0,
         'optimizer': {'type': 'adam', 'lr': 1e-4},
@@ -116,7 +159,7 @@ def main():
                       'min_lr': 1e-5},
     }
     trainer = Trainer(model, train_cfg, log_dir=args.out,
-                      full_config={'model': {'type': 'diffab'}})
+                      full_config={'model': {'type': args.model}})
     trainer.init_params(make_batch(rng), seed=0)
 
     metrics_path = os.path.join(args.out, 'metrics.jsonl')
@@ -151,7 +194,7 @@ def main():
     # outliers (first step + each new padding bucket) and eval pauses.
     med = float(np.median(step_times)) if step_times else float('nan')
     print('THROUGHPUT', json.dumps({
-        'dims': args.dims, 'batch': args.batch,
+        'model': args.model, 'dims': args.dims, 'batch': args.batch,
         'median_step_s': round(med, 4),
         'train_steps_per_s': round(1.0 / med, 2),
         'train_samples_per_s': round(args.batch / med, 2)}), flush=True)

@@ -91,6 +91,36 @@ class TestDiffGNN:
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
 
+    def test_loss_grads_finite_with_padding(self, setup):
+        """Padded rows (mask=False, aa=21, all-zero coords) must not leak
+        NaN: the seq CE's OOB gather fills NaN, and construct_3d_basis on
+        zero coords NaNs the rot loss *gradient* even though the masked
+        loss value is finite (regression: both found via
+        scripts/validation_train.py --model diff_gnn)."""
+        model, batch, params = setup
+        padded = {k: (np.asarray(v).copy() if isinstance(v, (np.ndarray,))
+                      or hasattr(v, 'shape') else v)
+                  for k, v in batch.items()}
+        # Pad the last 6 rows of item 0 the way PaddingCollate does.
+        sl = np.s_[0, -6:]
+        padded['mask'][sl] = False
+        padded['generate_flag'][sl] = False
+        padded['aa'][sl] = 21
+        padded['pos_heavyatom'][sl] = 0.0
+        losses = model.loss(params, padded, jax.random.key(5))
+        for k in ('rot', 'pos', 'bb_pos', 'seq'):
+            assert np.isfinite(float(losses[k])), k
+
+        def total(p):
+            d = model.loss(p, padded, jax.random.key(6))
+            return d['rot'] + d['pos'] + d['bb_pos'] + d['seq']
+
+        g = jax.grad(total)(params)
+        bad = [jax.tree_util.keystr(path)
+               for path, x in jax.tree_util.tree_leaves_with_path(g)
+               if not np.isfinite(np.asarray(x)).all()]
+        assert not bad, bad
+
     def test_sample(self, setup):
         model, batch, params = setup
         out = jax.jit(lambda p, b, k: model.sample(p, b, k))(
