@@ -52,6 +52,10 @@ _TIER_BY_MODULE = {
     'test_train': 'e2e', 'test_e2e_train_gnn': 'e2e', 'test_runner': 'e2e',
     'test_pipeline': 'e2e', 'test_parallel': 'e2e', 'test_configs': 'e2e',
     'test_diff_gnn': 'e2e', 'test_cli': 'e2e',
+    # test_model exercises full loss/sample/optimize flows (slow compiles);
+    # test_ipa_pallas is the kernel==module equivalence tier (interpret-mode
+    # pallas on CPU is minutes) — both are too slow for the unit tier.
+    'test_model': 'e2e', 'test_ipa_pallas': 'parity',
     'test_network_parity': 'parity', 'test_diffgnn_parity': 'parity',
     'test_checkpoint_convert': 'parity',
 }

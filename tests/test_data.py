@@ -114,6 +114,7 @@ class TestTransformPipeline:
         gen = patch['generate_flag']
         assert (patch['aa'][gen] == AA_UNK).all()
 
+    @pytest.mark.e2e
     def test_full_pipeline_to_model(self, structure):
         """Crop -> collate -> device batch -> model loss runs finite."""
         import copy
