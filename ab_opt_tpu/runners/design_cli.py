@@ -10,6 +10,8 @@ from .design import DesignArgs, design_for_pdb
 
 
 def main(argv=None):
+    from ..utils import enable_compile_cache
+    enable_compile_cache()  # skip recompiles across processes
     parser = argparse.ArgumentParser()
     parser.add_argument('--pdb_path', type=str, required=True)
     parser.add_argument('--id', type=str, default='')

@@ -42,6 +42,8 @@ def design_dock(antigen_pdb: str, antibody_pdb: str, config: Dict,
 
 
 def main(argv=None):
+    from ..utils import enable_compile_cache
+    enable_compile_cache()  # skip recompiles across processes
     parser = argparse.ArgumentParser()
     parser.add_argument('--antigen', required=True)
     parser.add_argument('--antibody', required=True)

@@ -166,6 +166,8 @@ def optimize_antibody(args: OptimizeArgs):
 
 
 def main(argv=None):
+    from ..utils import enable_compile_cache
+    enable_compile_cache()  # skip recompiles across processes
     parser = argparse.ArgumentParser()
     parser.add_argument('--docked_pose_dir', required=True)
     parser.add_argument('--seq_design_dir', required=True)

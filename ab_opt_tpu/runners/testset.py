@@ -121,6 +121,8 @@ def aggregate_results(all_results: Dict, out_root: str) -> Dict:
 
 
 def main(argv=None):
+    from ..utils import enable_compile_cache
+    enable_compile_cache()  # skip recompiles across processes
     parser = argparse.ArgumentParser()
     parser.add_argument('-c', '--config', type=str, required=True)
     parser.add_argument('-ck', '--ckpt', type=str, default=None)

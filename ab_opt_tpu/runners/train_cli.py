@@ -29,6 +29,8 @@ def setup_logging(log_dir=None):
 
 
 def main(argv=None):
+    from ..utils import enable_compile_cache
+    enable_compile_cache()  # skip recompiles across processes
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', type=str, required=True)
     parser.add_argument('--logdir', type=str, default='./logs')

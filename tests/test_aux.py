@@ -1,5 +1,6 @@
 """Tests for auxiliary pieces: pLDDT head, profiling utils, property specs,
 tensor utils, config interpolation."""
+import os
 import numpy as np
 import pytest
 
@@ -92,3 +93,24 @@ class TestUtils:
         cfg, name = load_config(str(p))
         assert name == 'c'
         assert cfg['data']['transform'][0]['antigen_size'] == 20
+
+    def test_enable_compile_cache(self, tmp_path, monkeypatch):
+        """Default-on persistent compile cache; env var wins; idempotent."""
+        from ab_opt_tpu.utils import enable_compile_cache
+        # env var set -> no-op, returns the env dir untouched
+        monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR', '/somewhere/else')
+        assert enable_compile_cache(str(tmp_path / 'a')) == '/somewhere/else'
+        monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR')
+        prior = jax.config.jax_compilation_cache_dir
+        try:
+            if prior:  # already configured (e.g. by a prior test/process)
+                assert enable_compile_cache(str(tmp_path / 'b')) == prior
+                return
+            d = str(tmp_path / 'cache')
+            assert enable_compile_cache(d) == d
+            assert jax.config.jax_compilation_cache_dir == d
+            assert os.path.isdir(d)
+            # second call respects the existing configuration
+            assert enable_compile_cache(str(tmp_path / 'other')) == d
+        finally:
+            jax.config.update('jax_compilation_cache_dir', prior)
