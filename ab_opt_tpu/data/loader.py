@@ -29,9 +29,13 @@ def _fetch_with_resample(ds, idx: int, epoch: int, seed: int,
                          max_retries: int = 32):
     """Safe getitem: DISTVIOLATION resamples a neighbor (sabdab.py:502-512).
 
-    Fully deterministic in (seed, idx, epoch) — the retry attempt number
-    salts both the neighbor hop and the transform rng, so a rejected crop
-    retries with fresh randomness even on a 1-item dataset.
+    Fully deterministic in (seed, idx, epoch). For datasets implementing the
+    ``get(idx, (epoch, attempt))`` protocol (all of this package's dataset
+    classes), the salt varies the transform rng per epoch AND per retry, so
+    a rejected crop retries with fresh randomness even on a 1-item dataset.
+    Plain sequences without ``get`` are assumed static (no internal
+    randomness): retries only help via the neighbor hop, and a stochastic
+    ``__getitem__`` would repeat its crop — implement ``get`` in that case.
     """
     rng = np.random.default_rng((seed, idx, epoch))
     n = len(ds)

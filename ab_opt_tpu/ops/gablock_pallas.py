@@ -231,10 +231,15 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
 
 def _pick_rt(reps: int, L: int, rt=None) -> int:
     """Replicas per grid cell: largest divisor of ``reps`` within the VMEM
-    budget (~13 MB at L=128 for RT=4; halve the tile when L doubles)."""
-    if rt is None:
-        rt = max(1, min(reps, 512 // max(L, 128)))
-    rt = min(rt, reps)
+    budget (~13 MB at L=128 for RT=4; halve the tile when L doubles).
+    An explicit ``rt`` override must be a positive divisor of ``reps``."""
+    if rt is not None:
+        if rt < 1 or reps % rt:
+            raise ValueError(
+                f'replica-tile override rt={rt} must be a positive divisor '
+                f'of reps={reps}')
+        return min(rt, reps)
+    rt = max(1, min(reps, 512 // max(L, 128)))
     while reps % rt:
         rt -= 1
     return rt

@@ -163,9 +163,14 @@ def _chain_seq_indices(data) -> Dict[str, List[int]]:
 
 
 def _numbering_matches(model, native) -> bool:
-    """True when direct (chain, resseq, icode) matching is trustworthy:
-    most native residues are present in the model under the same key AND
-    carry the same amino acid there."""
+    """True when direct (chain, resseq, icode) matching is trustworthy.
+
+    Trust the keys when (a) the model/native key sets essentially coincide
+    (two-sided overlap >= 0.995 — a designed pose saved against its own
+    native patch matches exactly even though the *sequence* is mutated), or
+    (b) most native keys resolve in the model AND carry the same amino acid
+    there (catches shifted renumbering, where key overlap can be high but
+    the sequence read through the keys is displaced)."""
     keys_m = {}
     for i in range(len(model['aa'])):
         k = (model['chain_id'][i], int(model['resseq'][i]), model['icode'][i])
@@ -178,6 +183,9 @@ def _numbering_matches(model, native) -> bool:
             shared += 1
             same += int(keys_m[k] == int(native['aa'][i]))
     n_nat = max(len(native['aa']), 1)
+    n_mod = max(len(keys_m), 1)
+    if shared / n_nat >= 0.995 and shared / n_mod >= 0.995:
+        return True
     return shared / n_nat >= 0.8 and same / max(shared, 1) >= 0.9
 
 

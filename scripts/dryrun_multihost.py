@@ -74,7 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--worker', type=int, default=None)
     ap.add_argument('--nproc', type=int, default=2)
-    ap.add_argument('--port', type=int, default=29517)
+    ap.add_argument('--port', type=int, default=0,
+                    help='coordinator port; 0 = pick a free one (launcher)')
     args = ap.parse_args()
 
     if args.worker is not None:
@@ -91,11 +92,28 @@ def main():
     # __graft_entry__.dryrun_multichip).
     for trigger in ('PALLAS_AXON_POOL_IPS', 'TPU_WORKER_HOSTNAMES'):
         env.pop(trigger, None)
+    port = args.port
+    if not port:
+        # A stale fixed port breaks the next rendezvous if a prior run left
+        # a worker behind; grab a fresh ephemeral one instead.
+        import socket
+        with socket.socket() as s:
+            s.bind(('127.0.0.1', 0))
+            port = s.getsockname()[1]
     procs = [subprocess.Popen(
         [sys.executable, __file__, '--worker', str(i),
-         '--nproc', str(args.nproc), '--port', str(args.port)],
+         '--nproc', str(args.nproc), '--port', str(port)],
         env=env, cwd=ROOT) for i in range(args.nproc)]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        import time
+        deadline = time.monotonic() + 600   # shared budget across workers
+        rcs = [p.wait(timeout=max(1.0, deadline - time.monotonic()))
+               for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:          # no orphaned workers holding the port
+            if p.poll() is None:
+                p.kill()
+        sys.exit('worker wait timed out; killed remaining workers')
     if any(rcs):
         sys.exit(f'worker exit codes: {rcs}')
     print('MULTIHOST DRYRUN OK')

@@ -132,6 +132,33 @@ class TestDockQ:
                             align_numbering=False)
         assert broken['fnat'] == 0.0
 
+    def test_designed_pose_keeps_direct_key_matching(self, two_chain_pdb):
+        """A designed pose (keys identical to the native, sequence heavily
+        mutated) must be scored by direct key matching under 'auto', not
+        detoured through sequence alignment: identical-key sets are trusted
+        regardless of amino-acid identity."""
+        from ab_opt_tpu.tools.dockq.dockq import _numbering_matches
+        data, native, tmp = two_chain_pdb
+        des = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+               for k, v in data.items()}
+        is_ab = np.asarray([c == 'A' for c in data['chain_id']])
+        des['pos_heavyatom'] = data['pos_heavyatom'].copy()
+        des['pos_heavyatom'][is_ab] += np.float32(2.0)
+        # "Design" half of the antibody chain: rotate aa identities.
+        aa = np.asarray(des['aa']).copy()
+        ab_idx = np.flatnonzero(is_ab)
+        mut = ab_idx[::2]
+        aa[mut] = (aa[mut] + 7) % 20
+        des['aa'] = aa
+        assert _numbering_matches(des, data)
+        p_des = tmp / 'designed.pdb'
+        save_pdb(des, str(p_des))
+        auto = calc_dockq(str(p_des), str(native), use_ca_only=True)
+        direct = calc_dockq(str(p_des), str(native), use_ca_only=True,
+                            align_numbering=False)
+        for key in ('DockQ', 'fnat', 'irms', 'Lrms'):
+            assert auto[key] == pytest.approx(direct[key], abs=1e-9), key
+
     def test_unmatched_residue_keeps_paired_chain_group(self, two_chain_pdb):
         """An inserted model residue with no aligned native partner must
         still take its chain's paired native id — otherwise it lands in the

@@ -273,6 +273,20 @@ class TestFusedBlock:
                                           np.asarray(batch['aa'])[0][ctx])
 
 
+class TestPickRT:
+    def test_override_validation(self):
+        """Explicit replica-tile overrides must be positive divisors; the
+        default picks the largest in-budget divisor."""
+        from ab_opt_tpu.ops.gablock_pallas import _pick_rt
+        assert _pick_rt(32, 128, rt=4) == 4
+        assert _pick_rt(32, 128, rt=None) >= 1
+        assert 32 % _pick_rt(32, 128, rt=None) == 0
+        with pytest.raises(ValueError):
+            _pick_rt(32, 128, rt=0)
+        with pytest.raises(ValueError):
+            _pick_rt(12, 128, rt=8)     # not a divisor: no silent fallback
+
+
 class TestFusedHeads:
     """Batched-GEMM output heads (nn/epsilon_net.py::precompute_head_weights)
     vs the per-head flax MLP modules, through DiffAbNet.denoise_step."""

@@ -151,7 +151,10 @@ def test_multihost_dryrun_two_processes():
     import subprocess
     import sys
     script = pathlib.Path(__file__).resolve().parents[1] / 'scripts' / 'dryrun_multihost.py'
+    # Timeout must exceed the launcher's own 600s worker wait so a hung
+    # worker surfaces as the launcher's error (which kills its workers),
+    # not a TimeoutExpired here that would orphan them.
     proc = subprocess.run([sys.executable, str(script)], capture_output=True,
-                          text=True, timeout=500)
+                          text=True, timeout=700)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert 'MULTIHOST DRYRUN OK' in proc.stdout
