@@ -78,6 +78,13 @@ def main():
                                 gen_hi=L // 4 + 8)
     params = model.init(jax.random.key(0), batch)
 
+    # Opt-in PRNG implementation sweep (AB_OPT_PRNG=rbg): per-step key
+    # splitting + normal/gumbel draws ride the key's impl; rbg is much
+    # cheaper than threefry on TPU and the sampler is impl-agnostic.
+    prng_impl = os.environ.get('AB_OPT_PRNG')
+    make_key = ((lambda i: jax.random.key(i, impl=prng_impl)) if prng_impl
+                else jax.random.key)
+
     def throughput(num_replicas, iters=ITERS):
         fn = jax.jit(lambda p, b, k: model.sample(
             p, b, k, num_replicas=num_replicas))
@@ -88,10 +95,10 @@ def main():
             return out
 
         for i in range(WARMUP):
-            run(jax.random.key(i))
+            run(make_key(i))
         t0 = time.perf_counter()
         for i in range(iters):
-            run(jax.random.key(100 + i))
+            run(make_key(100 + i))
         dt = time.perf_counter() - t0
         return num_replicas * iters / dt
 
