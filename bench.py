@@ -112,6 +112,9 @@ def main():
         'unit': 'samples/s',
         'vs_baseline': round(headline / A100_EST_SAMPLES_PER_SEC, 3),
         f'fanout_{BATCH_LARGE}_samples_per_sec': round(large, 3),
+        # Guard against a flapped tunnel silently benching the CPU backend:
+        # the A100 divisor only makes sense for a TPU measurement.
+        'backend': jax.default_backend(),
     }))
 
 
