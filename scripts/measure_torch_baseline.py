@@ -16,7 +16,13 @@ number from above; compute-bound scaling would be far larger but eager
 torch at these shapes does not reach it.
 
 Usage: python scripts/measure_torch_baseline.py [BATCH] [L] [ITERS]
+       python scripts/measure_torch_baseline.py --train [BATCH] [L] [ITERS]
 Prints one JSON line with samples/s.
+
+``--train`` times one reference TRAINING step instead (forward loss dict +
+sum_weighted_losses + backward + grad-clip + Adam step, mirroring
+AbDock/train.py:96-126), giving the repo's measured TPU train throughput
+(PERF.md) a torch divisor on identical shapes.
 """
 import json
 import pathlib
@@ -43,9 +49,11 @@ MODEL_CFG = {
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    L = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    args = [a for a in sys.argv[1:] if a != '--train']
+    train_mode = '--train' in sys.argv[1:]
+    B = int(args[0]) if len(args) > 0 else 8
+    L = int(args[1]) if len(args) > 1 else 128
+    iters = int(args[2]) if len(args) > 2 else 1
 
     sys.path.insert(0, str(REPO))
     sys.path.insert(0, str(REPO / 'tests'))
@@ -75,8 +83,36 @@ def main():
         else:
             batch[k] = torch.from_numpy(a.astype(np.float32))
 
-    print(f'reference torch sample: B={B} L={L} '
+    mode = 'train' if train_mode else 'sample'
+    print(f'reference torch {mode}: B={B} L={L} '
           f'threads={torch.get_num_threads()}', file=sys.stderr, flush=True)
+
+    if train_mode:
+        # One reference training step (AbDock/train.py:96-126): forward loss
+        # dict -> weighted sum -> backward -> clip -> Adam step. Weights per
+        # configs/train/dock_single.yml (rot/pos/seq/distogram 1.0).
+        from torch.nn.utils import clip_grad_norm_
+        model = model.train()
+        optimizer = torch.optim.Adam(model.parameters(), lr=1e-4)
+        # Warm one step outside the timer (allocator + autograd graph init).
+        for timed in (False, True):
+            if timed:
+                t0 = time.perf_counter()
+            for _ in range(iters if timed else 1):
+                loss_dict = model(batch)
+                loss = sum(v for v in loss_dict.values() if v.requires_grad)
+                loss.backward()
+                clip_grad_norm_(model.parameters(), 100.0)
+                optimizer.step()
+                optimizer.zero_grad()
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            'metric': f'reference torch CPU train-step samples/s (L={L}, B={B})',
+            'value': round(B / dt, 4),
+            'seconds_per_step': round(dt, 2),
+            'torch_threads': torch.get_num_threads(),
+        }), flush=True)
+        return
 
     with torch.no_grad():
         t0 = time.perf_counter()
