@@ -300,14 +300,14 @@ class DiffAb:
             pair_biases = precompute_encoder_pair_biases(
                 enc_params, pair_feat, mask_res[::reps], self.cfg.num_layers,
                 dtype=self.cfg.compute_dtype)
-            if self.cfg.ipa_impl == 'pallas_fused':
-                # EXPERIMENTAL: fully-fused per-layer block kernel
-                # (ops/gablock_pallas.py). Correct (kernel==module tests) but
-                # currently slower than the composable path at fan-out scale:
-                # the in-kernel per-replica pair aggregation cannot batch
-                # alphas across replicas the way the XLA einsum does
-                # (M = reps*H vs M = H). Kept for single-replica workloads
-                # and further kernel work; see PERF.md.
+            if self.cfg.ipa_impl in ('pallas_fused', 'auto'):
+                # Fully-fused per-layer block kernel (ops/gablock_pallas.py):
+                # projections, attention, pair aggregation and the LN/MLP
+                # tail in one VMEM-resident kernel per layer. Default for
+                # TPU *sampling* ('auto'): measured 195 vs 148 samples/s at
+                # the operational 256-trajectory fan-out, parity at 32
+                # (PERF.md round 4). Forward-only — training keeps the
+                # composable kernel with its custom VJP.
                 from ..ops.gablock_pallas import (build_encoder_weights,
                                                   fused_encoder_apply)
                 bundles = build_encoder_weights(enc_params,

@@ -33,8 +33,10 @@ training and CPU/parity paths use the composable nn/ipa.py implementations.
 
 Weight bundle per layer (:func:`build_gablock_weights`): the
 make_fast_weights dict (w_pts / s_q / s_k / s_v / bias_q / bias_k) plus
-wout/bout (output transform), ln1/ln2 (LayerNorm scale row 0, bias row 1)
-and wm1/wm2/wm3/bm (transition MLP).
+wp2n/wrest/bout (output transform, split at the p2n block — Mosaic cannot
+lane-merge (L, H, Cz) into (L, H*Cz), so the p2n rows apply per head),
+ln1/ln2 (LayerNorm scale row 0, bias row 1) and wm1/wm2/wm3/bm (transition
+MLP).
 """
 from __future__ import annotations
 
@@ -82,7 +84,7 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
                     w_pts_ref, s_q_ref, s_k_ref, s_v_ref, b_q_ref, b_k_ref,
-                    pool_ref, wout_ref, bout_ref, ln1_ref,
+                    pool_ref, wp2n_ref, wrest_ref, bout_ref, ln1_ref,
                     wm1_ref, wm2_ref, wm3_ref, bm_ref, ln2_ref,
                     out_ref, *, RT, H, QK, V, P, PV, Cz):
     f32 = jnp.float32
@@ -150,7 +152,8 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
         a_all, z_ref[...].astype(dt), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=f32).astype(dt)               # (L, RT*H, Cz)
 
-    feats = []
+    feats = []                                               # (L, 1056) rest
+    y_p2n = []                                               # (L, F) f32
     for r in range(RT):
         o = outs[r]                                          # (L, H*_DV)
         node = jnp.concatenate(
@@ -169,14 +172,24 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
         # normalize_vector(eps=1e-4): n = sqrt(ss + eps^2); v / (n + eps).
         inv = 1.0 / (jnp.sqrt(sumsq + 1e-8) + 1e-4)
         direction = fp * jnp.concatenate([inv, inv, inv], axis=-1)
-        p2n = p2n_all[:, r * H:(r + 1) * H, :].reshape(L, H * Cz)
+        # The p2n slice of the output transform, fused per (replica, head):
+        # Mosaic rejects lane-merging (L, H, Cz) -> (L, H*Cz) reshapes/
+        # concats, but integer middle-dim indexing is supported — so the
+        # out_transform rows for the p2n block are applied head-by-head
+        # ((L, Cz) @ (Cz, F)) and summed instead of flattening p2n.
+        acc = jnp.dot(p2n_all[:, r * H, :], wp2n_ref[0],
+                      preferred_element_type=f32)
+        for h in range(1, H):
+            acc = acc + jnp.dot(p2n_all[:, r * H + h, :], wp2n_ref[h],
+                                preferred_element_type=f32)
+        y_p2n.append(acc)
         feats.append(jnp.concatenate(
-            [p2n, node, fp.astype(dt), dist.astype(dt), direction.astype(dt)],
+            [node, fp.astype(dt), dist.astype(dt), direction.astype(dt)],
             axis=-1))
 
-    feat_all = jnp.concatenate(feats, axis=0)                # (RT*L, 1824)
-    y = jnp.dot(feat_all, wout_ref[...],
-                preferred_element_type=f32) + bout_ref[...].astype(f32)
+    feat_rest = jnp.concatenate(feats, axis=0)               # (RT*L, 1056)
+    y = (jnp.dot(feat_rest, wrest_ref[...], preferred_element_type=f32)
+         + jnp.concatenate(y_p2n, axis=0) + bout_ref[...].astype(f32))
     y = y * mask_ref[...].reshape(rows, 1).astype(f32)
 
     x1 = _layernorm(x_in + y, ln1_ref[0].astype(f32), ln1_ref[1].astype(f32))
@@ -210,13 +223,20 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
         coef * math.sqrt(1.0 / 3.0), dtype)
     ln = lambda name: jnp.stack([bp[name]['scale'], bp[name]['bias']])
     mlp = lambda i: bp[f'Dense_{i}']
+    # out_transform rows split at the feat_p2n boundary: the p2n block is
+    # applied per head inside the kernel (see _gablock_kernel), the rest
+    # ([node | points | dist | direction]) as one GEMM.
+    wout = bp['out_transform']['kernel']
+    n_p2n = wout.shape[0] - H * (V + 7 * (PV3 // 3))   # rows = H * Cz
+    F_out = wout.shape[1]
     return {
         'w_pts': fast['w_pts'],
         's_q': fast['s_q'], 's_k': fast['s_k'], 's_v': fast['s_v'],
         'b_q': fast['bias_q'].reshape(1, -1).astype(dtype),
         'b_k': fast['bias_k'].reshape(1, -1).astype(dtype),
         'pool': jnp.asarray(_planar_pool_np(H, P3), dtype),
-        'wout': bp['out_transform']['kernel'].astype(dtype),
+        'wp2n': wout[:n_p2n].reshape(H, n_p2n // H, F_out).astype(dtype),
+        'wrest': wout[n_p2n:].astype(dtype),
         'bout': bp['out_transform']['bias'].reshape(1, -1).astype(jnp.float32),
         'ln1': ln('LayerNorm_0').astype(jnp.float32),
         'wm1': mlp(0)['kernel'].astype(dtype),
@@ -231,13 +251,20 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
 
 def _pick_rt(reps: int, L: int, rt=None) -> int:
     """Replicas per grid cell: largest divisor of ``reps`` within the VMEM
-    budget (~13 MB at L=128 for RT=4; halve the tile when L doubles).
-    An explicit ``rt`` override must be a positive divisor of ``reps``."""
+    budget (~12 MB at L=128 for RT=4; RT=8 measured 19.9 MB — over the
+    16 MB scoped limit; halve the tile when L doubles). An explicit ``rt``
+    override must be a positive divisor of ``reps`` and fit VMEM."""
     if rt is not None:
         if rt < 1 or reps % rt:
             raise ValueError(
                 f'replica-tile override rt={rt} must be a positive divisor '
                 f'of reps={reps}')
+        # Per-replica working set scales with L^2 (alphas/a_all dominate);
+        # the measured budget caps RT*L^2 at ~4*128^2.
+        if rt * L * L > 4 * 128 * 128:
+            raise ValueError(
+                f'replica-tile rt={rt} at L={L} exceeds the ~16 MB VMEM '
+                f'scoped budget (measured OOM at rt=8, L=128)')
         return min(rt, reps)
     rt = max(1, min(reps, 512 // max(L, 128)))
     while reps % rt:
@@ -272,7 +299,8 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
     kernel = functools.partial(_gablock_kernel, RT=RT, H=H, QK=QK, V=V,
                                P=P, PV=PV, Cz=Cz)
     w_names = ('w_pts', 's_q', 's_k', 's_v', 'b_q', 'b_k', 'pool',
-               'wout', 'bout', 'ln1', 'wm1', 'wm2', 'wm3', 'bm', 'ln2')
+               'wp2n', 'wrest', 'bout', 'ln1', 'wm1', 'wm2', 'wm3', 'bm',
+               'ln2')
     out = pl.pallas_call(
         kernel,
         grid=grid,

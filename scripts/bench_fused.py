@@ -35,22 +35,27 @@ def main():
                 os.environ.pop('AB_OPT_FUSED_RT', None)
             else:
                 os.environ['AB_OPT_FUSED_RT'] = str(rt)
-            for reps in (32, 256):
+            for reps in (32, 256, 1024):
                 if rt is not None and reps % rt:
                     continue
-                fn = jax.jit(lambda p, b, k, m=model, r=reps: m.sample(
-                    p, b, k, num_replicas=r))
-                t_c0 = time.perf_counter()
-                for i in range(WARMUP):
-                    jax.block_until_ready(
-                        fn(params, batch, jax.random.key(i))['p'])
-                compile_s = time.perf_counter() - t_c0
-                t0 = time.perf_counter()
-                for i in range(ITERS):
-                    jax.block_until_ready(
-                        fn(params, batch, jax.random.key(100 + i))['p'])
-                dt = time.perf_counter() - t0
                 tag = f'{impl}' + (f'/rt={rt}' if rt is not None else '')
+                try:
+                    fn = jax.jit(lambda p, b, k, m=model, r=reps: m.sample(
+                        p, b, k, num_replicas=r))
+                    t_c0 = time.perf_counter()
+                    for i in range(WARMUP):
+                        jax.block_until_ready(
+                            fn(params, batch, jax.random.key(i))['p'])
+                    compile_s = time.perf_counter() - t_c0
+                    t0 = time.perf_counter()
+                    for i in range(ITERS):
+                        jax.block_until_ready(
+                            fn(params, batch, jax.random.key(100 + i))['p'])
+                    dt = time.perf_counter() - t0
+                except Exception as e:  # noqa: BLE001 — sweep survives OOMs
+                    print(f'{tag:18s} reps={reps:4d}: FAILED '
+                          f'({type(e).__name__}: {str(e)[:120]})', flush=True)
+                    continue
                 print(f'{tag:18s} reps={reps:4d}: '
                       f'{reps * ITERS / dt:8.2f} samples/s '
                       f'({dt / ITERS * 1e3:7.1f} ms/call, '

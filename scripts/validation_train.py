@@ -55,6 +55,12 @@ def main():
                     default='diffab',
                     help='diff_gnn = the AbDesign graph path (hotspot patch '
                          '+ hydropathy/charge labels, EGNN denoiser)')
+    ap.add_argument('--holdout', default=None,
+                    help='leave-one-complex-out generalization protocol '
+                         '(the antigen-held-out split in miniature, ref '
+                         'AbDesign/diffab/utils/train.py:302): train on the '
+                         'OTHER bundled complexes, run the sampling eval '
+                         'ONLY on this held-out id (e.g. 7DK2)')
     args = ap.parse_args()
 
     import jax
@@ -69,13 +75,20 @@ def main():
     if args.model == 'diff_gnn':
         # The hotspot patch crop needs an antigen; drop the bare Fv.
         complexes = [c for c in complexes if c[0] != '3QHF']
+    if args.holdout:
+        ids = [c[0] for c in complexes]
+        assert args.holdout in ids, f'{args.holdout} not in {ids}'
+        assert not args.overfit, '--holdout and --overfit are exclusive'
     structures = []
+    holdout_structures = []
     for sid, path, h, l in complexes:
         s = preprocess_antibody_structure(
             {'id': sid, 'pdb_path': path, 'heavy_id': h, 'light_id': l})
         assert s is not None, sid
-        structures.append(s)
-    print(f'parsed {len(structures)} complexes', flush=True)
+        (holdout_structures if sid == args.holdout else structures).append(s)
+    print(f'parsed {len(structures)} train complexes'
+          + (f' + held-out {args.holdout}' if args.holdout else ''),
+          flush=True)
 
     if args.model == 'diff_gnn':
         # AbDesign graph-path pipeline (ref configs/train/codesign_single_gnn
@@ -124,7 +137,8 @@ def main():
         return collate(items)
 
     eval_items = [eval_tfm(copy.deepcopy(s), rng=np.random.default_rng(1))
-                  for s in structures]
+                  for s in (holdout_structures if args.holdout
+                            else structures)]
 
     if args.model == 'diff_gnn':
         if args.dims == 'production':
@@ -195,6 +209,7 @@ def main():
     med = float(np.median(step_times)) if step_times else float('nan')
     print('THROUGHPUT', json.dumps({
         'model': args.model, 'dims': args.dims, 'batch': args.batch,
+        'holdout': args.holdout,
         'median_step_s': round(med, 4),
         'train_steps_per_s': round(1.0 / med, 2),
         'train_samples_per_s': round(args.batch / med, 2)}), flush=True)
