@@ -24,8 +24,12 @@ import time
 A100_EST_SAMPLES_PER_SEC = 30.0
 
 L = 128           # padded crop length (CDR + context + antigen epitope)
-BATCH = 32        # trajectories per chip per call (headline)
-BATCH_LARGE = 256  # operational fan-out scale (secondary metric)
+# The reference's production mode is a LARGE fan-out: design_pdb.py
+# `-n 1000 -b 1000` (AbDock/README.md:61) samples ~1000 trajectories per
+# call. The headline measures that operational point; the small fan-out is
+# kept as a secondary metric (latency-sensitive interactive use).
+BATCH = 256       # trajectories per chip per call (headline, operational)
+BATCH_SMALL = 32  # small fan-out (secondary metric)
 WARMUP = 1
 ITERS = 3
 
@@ -102,16 +106,16 @@ def main():
         dt = time.perf_counter() - t0
         return num_replicas * iters / dt
 
-    headline = throughput(BATCH)
-    large = throughput(BATCH_LARGE, iters=1)
+    headline = throughput(BATCH, iters=max(1, ITERS // 2))
+    small = throughput(BATCH_SMALL)
 
     print(json.dumps({
         'metric': (f'100-step CDR-H3 samples/sec/chip '
-                   f'(L={L}, {BATCH}-trajectory fan-out)'),
+                   f'(L={L}, {BATCH}-trajectory operational fan-out)'),
         'value': round(headline, 3),
         'unit': 'samples/s',
         'vs_baseline': round(headline / A100_EST_SAMPLES_PER_SEC, 3),
-        f'fanout_{BATCH_LARGE}_samples_per_sec': round(large, 3),
+        f'fanout_{BATCH_SMALL}_samples_per_sec': round(small, 3),
         # Guard against a flapped tunnel silently benching the CPU backend:
         # the A100 divisor only makes sense for a TPU measurement.
         'backend': jax.default_backend(),
