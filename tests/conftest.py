@@ -45,8 +45,11 @@ def reference_abdock():
 
 # --------------------------------------------------------------------- tiers
 # Auto-mark tests by module so `pytest -m unit` is a fast (<5 min) tier,
-# `-m parity` the torch golden-parity tier, `-m e2e` the slow flows.
-# A module-level `pytestmark` with one of these markers takes precedence.
+# `-m parity` the torch golden-parity tier, `-m e2e` the slow flows, and
+# `-m nightly` the long tail (full config matrix, multi-process dryruns,
+# overfit runs). Full CI = plain `pytest tests/` or `-m "e2e or nightly"`.
+# A module-level `pytestmark` or per-test marker with one of these markers
+# takes precedence over the module default.
 
 _TIER_BY_MODULE = {
     'test_train': 'e2e', 'test_e2e_train_gnn': 'e2e', 'test_runner': 'e2e',
@@ -59,7 +62,7 @@ _TIER_BY_MODULE = {
     'test_network_parity': 'parity', 'test_diffgnn_parity': 'parity',
     'test_checkpoint_convert': 'parity',
 }
-_TIERS = ('unit', 'parity', 'e2e')
+_TIERS = ('unit', 'parity', 'e2e', 'nightly')
 
 
 def pytest_collection_modifyitems(config, items):

@@ -18,7 +18,20 @@ PDB = EXAMPLES / '7DK2_AB_C.pdb'
 TRAIN_CFGS = sorted((REPO / 'configs' / 'train').glob('*.yml'))
 TEST_CFGS = sorted((REPO / 'configs' / 'test').glob('*.yml'))
 
-pytestmark = pytest.mark.e2e
+# The full matrix (15 train + 11 test configs, one compile each) is ~20 min
+# of this tier's wall time; the e2e tier keeps one representative per flow
+# family (flagship IPA train, graph-path train, codesign/dock/strpred CLI)
+# and the rest run in the nightly tier (`-m nightly`; full CI is
+# `-m "e2e or nightly"` or plain `pytest tests/`).
+_E2E_TRAIN = {'dock_single', 'codesign_single_gnn'}
+_E2E_TEST = {'codesign_single', 'val_codesign_single', 'strpred'}
+
+
+def _tiered(paths, e2e_ids):
+    return [pytest.param(p, id=p.stem,
+                         marks=pytest.mark.e2e if p.stem in e2e_ids
+                         else pytest.mark.nightly)
+            for p in paths]
 
 
 def _shrink_model(m):
@@ -35,7 +48,7 @@ def _shrink_model(m):
         diff.setdefault('eps_net_opt', {})['num_layers'] = 1
 
 
-@pytest.mark.parametrize('cfg_path', TRAIN_CFGS, ids=lambda p: p.stem)
+@pytest.mark.parametrize('cfg_path', _tiered(TRAIN_CFGS, _E2E_TRAIN))
 def test_train_config_one_step(cfg_path, mini_sabdab, tmp_path):
     raw = yaml.safe_load(cfg_path.read_text())
     _shrink_model(raw['model'])
@@ -65,7 +78,7 @@ def test_train_config_one_step(cfg_path, mini_sabdab, tmp_path):
 
 
 @pytest.mark.skipif(not PDB.exists(), reason='examples unavailable')
-@pytest.mark.parametrize('cfg_path', TEST_CFGS, ids=lambda p: p.stem)
+@pytest.mark.parametrize('cfg_path', _tiered(TEST_CFGS, _E2E_TEST))
 def test_test_config_design_cli(cfg_path, tmp_path, capsys):
     raw = yaml.safe_load(cfg_path.read_text())
     _shrink_model(raw['model'])

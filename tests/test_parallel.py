@@ -81,7 +81,7 @@ def test_sharded_sampling_fanout(setup):
     assert not np.allclose(p[0][gen], p[1][gen])
 
 
-@pytest.mark.e2e
+@pytest.mark.nightly
 def test_sharded_sampling_production_shape_no_collectives():
     """Per-device work isolation at production shapes (VERDICT r2 #8).
 
@@ -119,6 +119,7 @@ def test_sharded_sampling_production_shape_no_collectives():
     assert not np.allclose(p[0][gen], p[4][gen])
 
 
+@pytest.mark.nightly
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, '/root/repo')
@@ -143,7 +144,7 @@ def test_global_batch_from_host_shards_single_process():
     np.testing.assert_array_equal(np.asarray(out['x']), local['x'])
 
 
-@pytest.mark.e2e
+@pytest.mark.nightly
 def test_multihost_dryrun_two_processes():
     """Two CPU processes + gloo collectives: the pod-scale wiring
     (jax.distributed + per-host shards) compiles and steps (VERDICT r2 #10)."""

@@ -107,6 +107,7 @@ def test_loader_process_pool_resamples_violations(data):
     assert len(batches) == 2 and batches[0]['aa'].shape[0] == 4
 
 
+@pytest.mark.nightly
 def test_overfit_small(tmp_path, data):
     model = DiffAb(CFG)
     trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path),
