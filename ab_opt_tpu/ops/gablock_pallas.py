@@ -45,6 +45,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from .ipa_pallas import _DA, _DV, _planar_pool_np, make_fast_weights
@@ -99,16 +100,15 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
     R = R_ref[...].reshape(rows, 9).astype(dt)
     t = t_ref[...].reshape(rows, 3).astype(dt)
 
-    # Points: one fused projection (component-major [qp | kp | vp] per
-    # component), rotated to the global frame in planar form.
+    # Points: one fused projection, OPERAND-major ([qp | kp | vp], each
+    # component-major inside — build_gablock_weights permutes the columns),
+    # so each operand rotates straight off its contiguous slice. v2 kept a
+    # component-major layout and re-gathered qp/kp/vp with 3-way concats
+    # per operand — one full extra copy of the rotated point tensor.
     pts = jnp.dot(x, w_pts_ref[...], preferred_element_type=f32).astype(dt)
-    pts_g = _rotate_sections(R, t, pts, n_tot)               # (rows, 3*n_tot)
-    sect = lambda off, w: jnp.concatenate(
-        [pts_g[:, c * n_tot + off:c * n_tot + off + w] for c in range(3)],
-        axis=-1)
-    qp = sect(0, HP)                                         # (rows, 3*HP)
-    kp = sect(HP, HP)
-    vp = sect(2 * HP, HPV)                                   # (rows, 3*HPV)
+    qp = _rotate_sections(R, t, pts[:, :3 * HP], HP)         # (rows, 3*HP)
+    kp = _rotate_sections(R, t, pts[:, 3 * HP:6 * HP], HP)
+    vp = _rotate_sections(R, t, pts[:, 6 * HP:], HPV)        # (rows, 3*HPV)
 
     # Attention operands: one GEMM each from [x | points | |p|^2].
     pool = pool_ref[...]
@@ -121,7 +121,9 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
     vvp = jnp.dot(jnp.concatenate([x, vp], axis=-1), s_v_ref[...],
                   preferred_element_type=f32).astype(dt)     # (rows, H*_DV)
 
-    bias = bias_ref[...].astype(f32)                         # (H, L, L)
+    # Stays bf16 in VMEM; the add below promotes on the fly (the full-f32
+    # copy cost 0.78 MB of the VMEM budget that gates the replica tile).
+    bias = bias_ref[...]                                     # (H, L, L) bf16
 
     # Per-replica attention, phase-separated: all logits dots back-to-back,
     # one stacked softmax per replica, then the value dots. The softmax
@@ -229,8 +231,19 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
     wout = bp['out_transform']['kernel']
     n_p2n = wout.shape[0] - H * (V + 7 * (PV3 // 3))   # rows = H * Cz
     F_out = wout.shape[1]
+    # make_fast_weights emits w_pts component-major over the concatenated
+    # operands ([c=0: qp|kp|vp][c=1: ...][c=2: ...]); the kernel wants it
+    # OPERAND-major ([qp_x|qp_y|qp_z | kp_... | vp_...]) so each operand's
+    # rotation reads one contiguous slice. Permute the columns here (a
+    # one-time host-side shuffle; fused_ipa_fast keeps the original layout).
+    P, PV = P3 // 3, PV3 // 3
+    HP, HPV = H * P, H * PV
+    n_tot = 2 * HP + HPV
+    perm = np.concatenate(
+        [np.arange(c * n_tot + off, c * n_tot + off + w)
+         for off, w in ((0, HP), (HP, HP), (2 * HP, HPV)) for c in range(3)])
     return {
-        'w_pts': fast['w_pts'],
+        'w_pts': fast['w_pts'][:, perm],
         's_q': fast['s_q'], 's_k': fast['s_k'], 's_v': fast['s_v'],
         'b_q': fast['bias_q'].reshape(1, -1).astype(dtype),
         'b_k': fast['bias_k'].reshape(1, -1).astype(dtype),
@@ -260,11 +273,13 @@ def _pick_rt(reps: int, L: int, rt=None) -> int:
                 f'replica-tile override rt={rt} must be a positive divisor '
                 f'of reps={reps}')
         # Per-replica working set scales with L^2 (alphas/a_all dominate);
-        # the measured budget caps RT*L^2 at ~4*128^2.
-        if rt * L * L > 4 * 128 * 128:
+        # the v2.1 layout (operand-major points, bf16 bias) fits rt=8 at
+        # L=128. Larger tiles are allowed through — Mosaic raises a clear
+        # VMEM error if the tile genuinely does not fit.
+        if rt * L * L > 8 * 128 * 128:
             raise ValueError(
                 f'replica-tile rt={rt} at L={L} exceeds the ~16 MB VMEM '
-                f'scoped budget (measured OOM at rt=8, L=128)')
+                f'scoped budget')
         return min(rt, reps)
     rt = max(1, min(reps, 512 // max(L, 128)))
     while reps % rt:

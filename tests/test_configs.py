@@ -15,7 +15,10 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 EXAMPLES = pathlib.Path('/root/reference/AbDock/data/examples')
 PDB = EXAMPLES / '7DK2_AB_C.pdb'
 
-TRAIN_CFGS = sorted((REPO / 'configs' / 'train').glob('*.yml'))
+# configs/debug.yml (ref AbDesign/configs/debug.yml) is a train-shaped
+# developer config at the matrix root; exercise it through the train flow.
+TRAIN_CFGS = sorted((REPO / 'configs' / 'train').glob('*.yml')) + \
+    [REPO / 'configs' / 'debug.yml']
 TEST_CFGS = sorted((REPO / 'configs' / 'test').glob('*.yml'))
 
 # The full matrix (15 train + 11 test configs, one compile each) is ~20 min
