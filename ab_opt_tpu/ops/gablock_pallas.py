@@ -272,14 +272,17 @@ def _pick_rt(reps: int, L: int, rt=None) -> int:
             raise ValueError(
                 f'replica-tile override rt={rt} must be a positive divisor '
                 f'of reps={reps}')
-        # Per-replica working set scales with L^2 (alphas/a_all dominate);
-        # the v2.1 layout (operand-major points, bf16 bias) fits rt=8 at
-        # L=128. Larger tiles are allowed through — Mosaic raises a clear
-        # VMEM error if the tile genuinely does not fit.
+        # Per-replica working set scales with L^2 (alphas/a_all dominate).
+        # Measured (v2.1 layout, on chip): rt=8 at L=128 needs 22.24 MB —
+        # over the default 16 MB scoped limit but within the raised 24 MB
+        # budget the sampling entry points now request
+        # (utils.compile_cache.jit_sample). Tiles past that are rejected
+        # here; Mosaic raises its own clear VMEM error for anything the
+        # estimate lets through that genuinely does not fit.
         if rt * L * L > 8 * 128 * 128:
             raise ValueError(
-                f'replica-tile rt={rt} at L={L} exceeds the ~16 MB VMEM '
-                f'scoped budget')
+                f'replica-tile rt={rt} at L={L} exceeds the scoped-VMEM '
+                f'budget (rt=8 at L=128 measured 22.24 MB)')
         return min(rt, reps)
     rt = max(1, min(reps, 512 // max(L, 128)))
     while reps % rt:

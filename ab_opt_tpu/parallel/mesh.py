@@ -121,7 +121,8 @@ def sharded_sample_fn(sample_fn: Callable, mesh: Mesh, axis_name: str = 'dp',
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    fn = jax.jit(lambda params, batch, key: sample_fn(
+    from ..utils.compile_cache import jit_sample
+    fn = jit_sample(lambda params, batch, key: sample_fn(
         params, batch, key, **sample_kwargs))
 
     def wrapped(params, batch, key):

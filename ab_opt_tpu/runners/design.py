@@ -231,7 +231,8 @@ class BatchedSampler:
             out['mask_atom_new'] = mask_new
             return out
 
-        self._fn = jax.jit(run, static_argnums=(3,))
+        from ..utils.compile_cache import jit_sample
+        self._fn = jit_sample(run, static_argnums=(3,))
 
     def __call__(self, batch_np: Dict, key,
                  num_replicas: int = 1) -> Dict[str, np.ndarray]:

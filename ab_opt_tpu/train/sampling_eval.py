@@ -44,8 +44,9 @@ def evaluate_samples(model, params, items: List[Dict], key,
     With ``out_dir``, each sampled crop is dumped as a PDB and a per-sample
     ``results.csv`` is written (misc.py:234-290).
     """
+    from ..utils.compile_cache import jit_sample
     collate = PaddingCollate()
-    sample_fn = jax.jit(lambda p, b, k: model.sample(p, b, k))
+    sample_fn = jit_sample(lambda p, b, k: model.sample(p, b, k))
     per_tag: Dict[str, Dict[str, list]] = {}
     rows = []
     for lo in range(0, len(items), batch_size):

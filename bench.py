@@ -90,7 +90,11 @@ def main():
                 else jax.random.key)
 
     def throughput(num_replicas, iters=ITERS):
-        fn = jax.jit(lambda p, b, k: model.sample(
+        # jit_sample = jax.jit + the TPU scoped-VMEM raise every shipped
+        # sampling entry point uses (utils/compile_cache.py) — the bench
+        # must measure the serving configuration.
+        from ab_opt_tpu.utils.compile_cache import jit_sample
+        fn = jit_sample(lambda p, b, k: model.sample(
             p, b, k, num_replicas=num_replicas))
 
         def run(key):

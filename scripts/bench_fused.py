@@ -40,7 +40,8 @@ def main():
                     continue
                 tag = f'{impl}' + (f'/rt={rt}' if rt is not None else '')
                 try:
-                    fn = jax.jit(lambda p, b, k, m=model, r=reps: m.sample(
+                    from ab_opt_tpu.utils.compile_cache import jit_sample
+                    fn = jit_sample(lambda p, b, k, m=model, r=reps: m.sample(
                         p, b, k, num_replicas=r))
                     t_c0 = time.perf_counter()
                     for i in range(WARMUP):

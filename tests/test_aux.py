@@ -114,3 +114,22 @@ class TestUtils:
             assert enable_compile_cache(str(tmp_path / 'other')) == d
         finally:
             jax.config.update('jax_compilation_cache_dir', prior)
+
+    def test_jit_sample_scoped_vmem_options(self, monkeypatch):
+        """The sampling jit helper: raises XLA's scoped-VMEM limit on TPU
+        (regression for the L=160 eval OOM — a full model.sample at N=8,
+        L=160 needs 17.73 MB scoped VMEM against the 16 MB default), stays
+        a plain jit elsewhere (CPU/GPU clients reject the TPU-only flag)."""
+        from ab_opt_tpu.utils.compile_cache import (
+            jit_sample, tpu_sampling_compiler_options)
+        # On the CPU test backend: no options, plain jit still works.
+        assert tpu_sampling_compiler_options() is None
+        fn = jit_sample(lambda x: x * 2)
+        assert float(fn(jnp.float32(3.0))) == 6.0
+        # On TPU: the limit is applied and env-overridable.
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        assert tpu_sampling_compiler_options() == {
+            'xla_tpu_scoped_vmem_limit_kib': 24576}
+        monkeypatch.setenv('AB_OPT_SCOPED_VMEM_KIB', '32768')
+        assert tpu_sampling_compiler_options() == {
+            'xla_tpu_scoped_vmem_limit_kib': 32768}
