@@ -309,11 +309,16 @@ class DiffAb:
                 # (PERF.md round 4). Forward-only — training keeps the
                 # composable kernel with its custom VJP.
                 from ..ops.gablock_pallas import (build_encoder_weights,
-                                                  fused_encoder_apply)
+                                                  fused_encoder_apply,
+                                                  transpose_pair_for_fused)
                 bundles = build_encoder_weights(enc_params,
                                                 self.cfg.num_layers)
                 interp = jax.default_backend() != 'tpu'
-                z_c = pair_feat
+                # z transposed (L, Cz, L) once, here (outside the scan):
+                # the kernel's pair block keeps L in the lane dim instead
+                # of padding Cz=64 to 128 lanes (halves its VMEM).
+                z_c = transpose_pair_for_fused(
+                    pair_feat.astype(jnp.bfloat16))
                 # Replica-tile override for on-chip tuning sweeps
                 # (scripts/bench_fused.py); default picks by VMEM budget.
                 rt_env = os.environ.get('AB_OPT_FUSED_RT')

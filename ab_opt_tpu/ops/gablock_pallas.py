@@ -147,11 +147,14 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
              for h in range(H)], axis=-1))
 
     # Pair aggregation sum_j alpha[rh, i, j] z[i, j, c] as ONE batched
-    # matmul over query rows i: per row (RT*H, L) @ (L, Cz) — the replica
+    # matmul over query rows i: per row (RT*H, L) @ (Cz, L)^T — the replica
     # tile batches the M dimension on the MXU (v1's VPU reduce was the 6x).
+    # z arrives TRANSPOSED (L, Cz, L) so its lane dim is L, not Cz: a
+    # (..., 64)-minor block pads to 128 lanes in VMEM, wasting half the
+    # largest buffer in the kernel (4.19 MB -> 2.10 MB at L=128, bf16).
     a_all = jnp.concatenate(alpha_rows, axis=1)              # (L, RT*H, L)
     p2n_all = jax.lax.dot_general(
-        a_all, z_ref[...].astype(dt), (((2,), (1,)), ((0,), (0,))),
+        a_all, z_ref[...].astype(dt), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=f32).astype(dt)               # (L, RT*H, Cz)
 
     feats = []                                               # (L, 1056) rest
@@ -294,23 +297,25 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
                         rt=None, interpret: bool = False):
     """One fused IPA block: x (N, L, F) f32 -> updated x (N, L, F) f32.
 
-    z (Nc, L, L, Cz) and bias (Nc, H, L, L) are per-complex (Nc = N // reps)
-    under trajectory fan-out; replica rows are contiguous per complex
-    (row n belongs to complex n // reps). ``rt`` overrides the replica-tile
-    size (must divide ``reps``).
+    z (Nc, L, Cz, L) — the pair tensor TRANSPOSED so L rides the lane dim
+    (see the p2n comment in the kernel; fused_encoder_apply transposes
+    once) — and bias (Nc, H, L, L) are per-complex (Nc = N // reps) under
+    trajectory fan-out; replica rows are contiguous per complex (row n
+    belongs to complex n // reps). ``rt`` overrides the replica-tile size
+    (must divide ``reps``).
     """
     N, L, F = x.shape
     Nc = N // reps
     RT = _pick_rt(reps, L, rt)
     H, QK, V, P, PV = wb['dims']
-    Cz = z.shape[-1]
+    Cz = z.shape[2]
 
     tile = lambda a: a.reshape(Nc, reps, L, -1)
     x4, R4, t4, m4 = tile(x), tile(R9), tile(t), tile(mask)
 
     grid = (Nc, reps // RT)
     blk = lambda d: pl.BlockSpec((None, RT, L, d), lambda n, j: (n, j, 0, 0))
-    z_spec = pl.BlockSpec((None, L, L, Cz), lambda n, j: (n, 0, 0, 0))
+    z_spec = pl.BlockSpec((None, L, Cz, L), lambda n, j: (n, 0, 0, 0))
     b_spec = pl.BlockSpec((None, H, L, L), lambda n, j: (n, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
@@ -331,6 +336,15 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
     return out.reshape(N, L, F)
 
 
+def transpose_pair_for_fused(z):
+    """(Nc, L, L, Cz) -> (Nc, L, Cz, L) for the fused kernel's z layout.
+
+    Call once per sampling invocation, outside the reverse scan — the pair
+    tensor is constant across diffusion steps and layers.
+    """
+    return jnp.swapaxes(z, 2, 3)
+
+
 def build_encoder_weights(enc_params, num_layers: int, dtype=jnp.bfloat16):
     """Weight bundles for every block — constant across diffusion steps, so
     samplers build them once outside the reverse scan."""
@@ -343,8 +357,10 @@ def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
     """Run the whole GAEncoder stack through the fused per-layer kernel.
 
     Signature mirrors GAEncoder.__call__: R (N, L, 3, 3) or a planar tuple;
-    t (N, L, 3); x (N, L, F) node features; z per-complex pair features;
-    ``biases`` the per-layer head-major pair biases from
+    t (N, L, 3); x (N, L, F) node features; z per-complex pair features
+    TRANSPOSED to (Nc, L, Cz, L) (transpose_pair_for_fused — done once by
+    the caller, OUTSIDE the reverse scan, so the relayout is not paid per
+    step); ``biases`` the per-layer head-major pair biases from
     precompute_encoder_pair_biases.
     """
     N, L = x.shape[:2]

@@ -208,7 +208,8 @@ class TestFusedBlock:
 
     def test_matches_gablock(self, rng):
         from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
-                                                   fused_gablock_layer)
+                                                   fused_gablock_layer,
+                                                   transpose_pair_for_fused)
         from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
         block, params, (R, t, x, z, mask) = self._setup(rng)
         ref = block.apply(params, R, t, x, z, mask)       # einsum path, bf16
@@ -221,8 +222,8 @@ class TestFusedBlock:
         N, L, F = x.shape
         got = fused_gablock_layer(
             x, R.reshape(N, L, 9).astype(jnp.float32), t,
-            z.astype(jnp.bfloat16), bias, mask.astype(jnp.float32), wb,
-            interpret=True)
+            transpose_pair_for_fused(z.astype(jnp.bfloat16)), bias,
+            mask.astype(jnp.float32), wb, interpret=True)
         valid = np.asarray(mask, bool)
         np.testing.assert_allclose(np.asarray(got)[valid],
                                    np.asarray(ref)[valid],
@@ -231,7 +232,8 @@ class TestFusedBlock:
     def test_replica_shared_pair(self, rng):
         """reps > 1: replicas read their complex's z/bias block."""
         from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
-                                                   fused_gablock_layer)
+                                                   fused_gablock_layer,
+                                                   transpose_pair_for_fused)
         from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
         block, params, (R, t, x, z, mask) = self._setup(rng, N=4, reps=2)
         z_rep = jnp.repeat(z, 2, axis=0)
@@ -245,8 +247,8 @@ class TestFusedBlock:
         N, L, F = x.shape
         got = fused_gablock_layer(
             x, R.reshape(N, L, 9).astype(jnp.float32), t,
-            z.astype(jnp.bfloat16), bias, mask.astype(jnp.float32), wb,
-            reps=2, interpret=True)
+            transpose_pair_for_fused(z.astype(jnp.bfloat16)), bias,
+            mask.astype(jnp.float32), wb, reps=2, interpret=True)
         valid = np.asarray(mask, bool)
         np.testing.assert_allclose(np.asarray(got)[valid],
                                    np.asarray(ref)[valid],
