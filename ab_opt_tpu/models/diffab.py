@@ -323,9 +323,26 @@ class DiffAb:
                 # (scripts/bench_fused.py); default picks by VMEM budget.
                 rt_env = os.environ.get('AB_OPT_FUSED_RT')
                 rt = int(rt_env) if rt_env else None
-                fused_fn = lambda R, t, x, m: fused_encoder_apply(
-                    bundles, R, t, x, z_c, pair_biases, m, reps=reps,
-                    rt=rt, interpret=interp)
+                # Chained whole-encoder kernel: all layers per grid cell,
+                # x VMEM-resident across the stack (opt-out via
+                # AB_OPT_FUSED_CHAIN=0; needs the raised scoped-VMEM
+                # budget, which jit_sample requests).
+                chain = (os.environ.get('AB_OPT_FUSED_CHAIN', '0') != '0'
+                         and self.cfg.num_layers > 1)
+                if chain:
+                    from ..ops.gablock_pallas import (fused_encoder_chained,
+                                                      stack_encoder_weights)
+                    stacked = stack_encoder_weights(bundles)
+                    bias_st = jnp.stack(
+                        [b.astype(jnp.bfloat16) for b in pair_biases],
+                        axis=1)                    # (Nc, NL, H, L, L)
+                    fused_fn = lambda R, t, x, m: fused_encoder_chained(
+                        stacked, self.cfg.num_layers, R, t, x, z_c, bias_st,
+                        m, reps=reps, rt=rt, interpret=interp)
+                else:
+                    fused_fn = lambda R, t, x, m: fused_encoder_apply(
+                        bundles, R, t, x, z_c, pair_biases, m, reps=reps,
+                        rt=rt, interpret=interp)
             else:
                 fast_weights = precompute_encoder_fast_weights(
                     enc_params, self.cfg.num_layers,

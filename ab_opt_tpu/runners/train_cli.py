@@ -19,6 +19,21 @@ from ..utils import load_config
 logger = logging.getLogger('train')
 
 
+def resolve_max_iters(args, config, restored_iteration: int) -> int:
+    """Final training iteration for this invocation.
+
+    Explicit --max_iters always wins; --finetune runs exactly
+    ``finetune_iters`` iterations past the restored point (ref
+    AbDesign/train.py:162 ``max_iters = it_first + args.finetune_iters``);
+    otherwise the config's train.max_iters.
+    """
+    if args.max_iters is not None:
+        return args.max_iters
+    if args.finetune:
+        return restored_iteration + args.finetune_iters
+    return config['train']['max_iters']
+
+
 def setup_logging(log_dir=None):
     handlers = [logging.StreamHandler()]
     if log_dir:
@@ -36,7 +51,13 @@ def main(argv=None):
     parser.add_argument('--logdir', type=str, default='./logs')
     parser.add_argument('--tag', type=str, default='')
     parser.add_argument('--resume', type=str, default=None)
-    parser.add_argument('--finetune', type=str, default=None)
+    parser.add_argument('--finetune', type=str, default=None,
+                        help='ckpt path: restore weights only, then train '
+                             'for --finetune_iters extra iterations')
+    parser.add_argument('--finetune_iters', type=int, default=200_000,
+                        help='finite finetune schedule: with --finetune, '
+                             'train this many iterations past the restored '
+                             'point (ref AbDesign/train.py:29-30,162)')
     parser.add_argument('--max_iters', type=int, default=None)
     parser.add_argument('--num_devices', type=int, default=None)
     parser.add_argument('--seed', type=int, default=None)
@@ -79,6 +100,7 @@ def main(argv=None):
         trainer.resume(args.resume)
     elif args.finetune:
         trainer.resume(args.finetune, finetune=True)
+    max_iters = resolve_max_iters(args, config, trainer.iteration)
 
     # AbDesign-style sampling-in-the-loop validation: design the first
     # `sampling_eval.num_items` val structures every val period and track
@@ -91,7 +113,7 @@ def main(argv=None):
                       for i in range(min(n_items, len(val_dataset)))]
 
     trainer.train(inf_iterator(train_loader), val_loader=val_loader,
-                  max_iters=args.max_iters or config['train']['max_iters'],
+                  max_iters=max_iters,
                   seed=seed, sampling_eval_items=eval_items,
                   sampling_eval_samples=int(eval_cfg.get('num_samples', 1)))
     return trainer

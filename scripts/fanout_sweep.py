@@ -32,8 +32,13 @@ def main():
     print(f'backend={jax.default_backend()} prng={prng_impl or "default"}',
           flush=True)
 
+    # jit_sample = jax.jit + the scoped-VMEM raise every shipped sampling
+    # entry point uses — this script picks bench.py's headline point, so it
+    # must measure the same compiler configuration (advisor r4).
+    from ab_opt_tpu.utils.compile_cache import jit_sample
+
     for reps in reps_list:
-        fn = jax.jit(lambda p, b, k, r=reps: model.sample(
+        fn = jit_sample(lambda p, b, k, r=reps: model.sample(
             p, b, k, num_replicas=r))
         t0 = time.perf_counter()
         jax.block_until_ready(fn(params, batch, make_key(0))['p'])

@@ -354,3 +354,86 @@ class TestFusedHeads:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
                 err_msg=jax.tree_util.keystr(path))
+
+
+class TestChainedEncoder:
+    """Chained whole-encoder kernel (all layers per grid cell) vs the
+    sequential per-layer fused kernels — same weights, same z/biases."""
+
+    def _inputs(self, rng, reps=4, nl=2, L=16):
+        from ab_opt_tpu.ops.gablock_pallas import _planar_pool_np
+        from ab_opt_tpu.ops.ipa_pallas import _DA, _DV
+        F, H, QK, V, P, PV, Cz = 32, 4, 8, 8, 4, 4, 8
+        f32, bf = jnp.float32, jnp.bfloat16
+        nrm = lambda s, d=bf: jnp.asarray(rng.normal(size=s) * 0.1, f32).astype(d)
+        HP, HPV = H * P, H * PV
+        n_tot = 2 * HP + HPV
+        rest_rows = H * (V + 7 * PV)
+        bundles = []
+        for _ in range(nl):
+            bundles.append({
+                'w_pts': nrm((F, 3 * n_tot)),
+                's_q': nrm((F + 3 * HP + H, H * _DA)),
+                's_k': nrm((F + 3 * HP + H, H * _DA)),
+                's_v': nrm((F + 3 * HPV, H * _DV)),
+                'b_q': nrm((1, H * _DA)),
+                'b_k': nrm((1, H * _DA)),
+                'pool': jnp.asarray(_planar_pool_np(H, 3 * P), bf),
+                'wp2n': nrm((H, Cz, F)),
+                'wrest': nrm((rest_rows, F)),
+                'bout': nrm((1, F), f32),
+                'ln1': nrm((2, F), f32) + 1.0,
+                'wm1': nrm((F, F)), 'wm2': nrm((F, F)), 'wm3': nrm((F, F)),
+                'bm': nrm((3, F), f32),
+                'ln2': nrm((2, F), f32) + 1.0,
+                'dims': (H, QK, V, P, PV),
+            })
+        N = reps
+        x = jnp.asarray(rng.normal(size=(N, L, F)), jnp.float32)
+        R9 = jnp.asarray(rng.normal(size=(N, L, 9)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(N, L, 3)), jnp.float32)
+        z = nrm((1, L, Cz, L))
+        biases = [nrm((1, H, L, L)) for _ in range(nl)]
+        mask = jnp.ones((N, L, 1), jnp.float32)
+        return bundles, x, R9, t, z, biases, mask
+
+    def test_matches_sequential(self, rng):
+        from ab_opt_tpu.ops.gablock_pallas import (fused_encoder_apply,
+                                                   fused_encoder_chained,
+                                                   stack_encoder_weights)
+        bundles, x, R9, t, z, biases, mask = self._inputs(rng)
+        seq = fused_encoder_apply(bundles, R9, t, x, z, biases, mask,
+                                  reps=4, rt=2, interpret=True)
+        stacked = stack_encoder_weights(bundles)
+        bst = jnp.stack(biases, axis=1)
+        ch = fused_encoder_chained(stacked, 2, R9, t, x, z, bst, mask,
+                                   reps=4, rt=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(ch), np.asarray(seq),
+                                   atol=1e-5)
+
+    def test_sample_e2e_chained(self):
+        """DiffAb.sample with AB_OPT_FUSED_CHAIN=1 routes the chained kernel
+        end-to-end and matches the per-layer fused path numerically."""
+        import os
+        from helpers import make_batch
+        from ab_opt_tpu.models import DiffAb, DiffAbConfig
+        batch = make_batch(np.random.default_rng(0), N=1, L=16)
+        cfg = DiffAbConfig(res_feat_dim=16, pair_feat_dim=8, num_steps=4,
+                           num_layers=2, num_bins=8, ipa_impl='pallas_fused')
+        model = DiffAb(cfg)
+        params = model.init(jax.random.key(0), batch)
+        sample = lambda: jax.jit(lambda p, b, k: model.sample(
+            p, b, k, num_replicas=2))(params, batch, jax.random.key(1))
+        old = os.environ.pop('AB_OPT_FUSED_CHAIN', None)
+        try:
+            seq = sample()
+            os.environ['AB_OPT_FUSED_CHAIN'] = '1'
+            ch = sample()
+        finally:
+            os.environ.pop('AB_OPT_FUSED_CHAIN', None)
+            if old is not None:
+                os.environ['AB_OPT_FUSED_CHAIN'] = old
+        np.testing.assert_allclose(np.asarray(ch['p']), np.asarray(seq['p']),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ch['s']),
+                                      np.asarray(seq['s']))

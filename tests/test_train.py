@@ -218,3 +218,54 @@ def test_trainer_sampling_eval_integration(tmp_path, data):
     import glob as _g
     assert _g.glob(str(tmp_path / 'sampling_eval' / 'it*' / 'results.csv'))
     assert _g.glob(str(tmp_path / 'checkpoints' / 'best_rmsd_*.ckpt'))
+
+
+def test_resolve_max_iters():
+    """--finetune_iters caps the finetune schedule (ref AbDesign/train.py:162:
+    ``max_iters = it_first + args.finetune_iters``); --max_iters overrides."""
+    import argparse
+
+    from ab_opt_tpu.runners.train_cli import resolve_max_iters
+
+    ns = lambda **kw: argparse.Namespace(**{
+        **dict(max_iters=None, finetune=None, finetune_iters=200_000), **kw})
+    config = {'train': {'max_iters': 500}}
+    # Plain run: config wins.
+    assert resolve_max_iters(ns(), config, 0) == 500
+    # Finetune: restored point + finetune_iters (restored iteration is 0
+    # after a weights-only restore, so this is the extra-iterations count).
+    assert resolve_max_iters(
+        ns(finetune='x.ckpt', finetune_iters=7), config, 0) == 7
+    assert resolve_max_iters(
+        ns(finetune='x.ckpt', finetune_iters=7), config, 3) == 10
+    # Explicit --max_iters always wins.
+    assert resolve_max_iters(
+        ns(finetune='x.ckpt', finetune_iters=7, max_iters=2), config, 3) == 2
+
+
+def test_finetune_iters_cli_flow(tmp_path, data):
+    """Full CLI flow: checkpoint -> --finetune --finetune_iters N trains
+    exactly N iterations from the restored weights."""
+    model = DiffAb(CFG)
+    trainer = Trainer(model, TRAIN_CFG, log_dir=str(tmp_path),
+                      full_config={'model': {'type': 'diffab'}})
+    collate = PaddingCollate(buckets=(16,))
+    loader = DataLoader(TransformedDataset(data, None), batch_size=4,
+                        collate_fn=collate, prefetch=0)
+    trainer.init_params(next(iter(loader)))
+    trainer.iteration = 5
+    ckpt = trainer.save()
+    assert ckpt
+
+    t2 = Trainer(DiffAb(CFG), TRAIN_CFG, log_dir=None)
+    t2.init_params(next(iter(loader)))
+    t2.resume(ckpt, finetune=True)
+    assert t2.iteration == 0                    # weights-only restore
+    import argparse
+
+    from ab_opt_tpu.runners.train_cli import resolve_max_iters
+    args = argparse.Namespace(max_iters=None, finetune=ckpt, finetune_iters=3)
+    max_iters = resolve_max_iters(args, {'train': {'max_iters': 999}},
+                                  t2.iteration)
+    t2.train(inf_iterator(loader), max_iters=max_iters, log_every=1000)
+    assert t2.iteration == 3
