@@ -85,7 +85,8 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 
 def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
-                  Cz):
+                  Cz, split_gemm=False, softmax_bf16=False,
+                  stacked_logits=False, dot_bf16=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -93,6 +94,16 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     weight names (build_gablock_weights keys) to loaded values; ``z`` is the
     transposed (L, Cz, L) bf16 pair block; ``bias`` the (H, L, L) bf16 pair
     bias; ``mask_rows`` the (RT*L, 1) f32 row mask.
+
+    ``split_gemm``: evaluate each fast-weight operand GEMM as 2-3 row-block
+    dots accumulated in f32 instead of one dot over a concatenated operand
+    (same MACs, no operand-copy concats). ``softmax_bf16``: run the
+    attention softmax in bf16 (logit dots still accumulate f32).
+    ``stacked_logits``: one (RT*L, RT*L) logit dot per head (the RT diagonal
+    (L, L) blocks are the real logits) — RT^2/RT more MACs for RT x fewer,
+    MXU-shaped dots. ``dot_bf16``: ask the MXU for bf16 dot outputs
+    directly (accumulation stays f32 inside the MXU) instead of converting
+    f32 results on the VPU afterwards.
     """
     f32 = jnp.float32
     dt = jnp.bfloat16
@@ -101,44 +112,77 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     HP, HPV = H * P, H * PV
 
     x = x_in.astype(dt)
+    acc = dt if dot_bf16 else f32
+    to_dt = (lambda a: a) if dot_bf16 else (lambda a: a.astype(dt))
 
     # Points: one fused projection, OPERAND-major ([qp | kp | vp], each
     # component-major inside — build_gablock_weights permutes the columns),
     # so each operand rotates straight off its contiguous slice. v2 kept a
     # component-major layout and re-gathered qp/kp/vp with 3-way concats
     # per operand — one full extra copy of the rotated point tensor.
-    pts = jnp.dot(x, w['w_pts'], preferred_element_type=f32).astype(dt)
+    pts = to_dt(jnp.dot(x, w['w_pts'], preferred_element_type=acc))
     qp = _rotate_sections(R, t, pts[:, :3 * HP], HP)         # (rows, 3*HP)
     kp = _rotate_sections(R, t, pts[:, 3 * HP:6 * HP], HP)
     vp = _rotate_sections(R, t, pts[:, 6 * HP:], HPV)        # (rows, 3*HPV)
 
     # Attention operands: one GEMM each from [x | points | |p|^2].
     pool = w['pool']
-    sq_q = jnp.dot(qp * qp, pool, preferred_element_type=f32).astype(dt)
-    sq_k = jnp.dot(kp * kp, pool, preferred_element_type=f32).astype(dt)
-    qa = (jnp.dot(jnp.concatenate([x, qp, sq_q], axis=-1), w['s_q'],
-                  preferred_element_type=f32).astype(dt) + w['b_q'])
-    ka = (jnp.dot(jnp.concatenate([x, kp, sq_k], axis=-1), w['s_k'],
-                  preferred_element_type=f32).astype(dt) + w['b_k'])
-    vvp = jnp.dot(jnp.concatenate([x, vp], axis=-1), w['s_v'],
-                  preferred_element_type=f32).astype(dt)     # (rows, H*_DV)
+    sq_q = to_dt(jnp.dot(qp * qp, pool, preferred_element_type=acc))
+    sq_k = to_dt(jnp.dot(kp * kp, pool, preferred_element_type=acc))
+    F = x.shape[1]
+    if split_gemm:
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+        qa = (dot(x, w['s_q'][:F]) + dot(qp, w['s_q'][F:F + 3 * HP])
+              + dot(sq_q, w['s_q'][F + 3 * HP:])).astype(dt) + w['b_q']
+        ka = (dot(x, w['s_k'][:F]) + dot(kp, w['s_k'][F:F + 3 * HP])
+              + dot(sq_k, w['s_k'][F + 3 * HP:])).astype(dt) + w['b_k']
+        vvp = (dot(x, w['s_v'][:F])
+               + dot(vp, w['s_v'][F:])).astype(dt)           # (rows, H*_DV)
+    else:
+        qa = (to_dt(jnp.dot(jnp.concatenate([x, qp, sq_q], axis=-1),
+                            w['s_q'], preferred_element_type=acc))
+              + w['b_q'])
+        ka = (to_dt(jnp.dot(jnp.concatenate([x, kp, sq_k], axis=-1),
+                            w['s_k'], preferred_element_type=acc))
+              + w['b_k'])
+        vvp = to_dt(jnp.dot(jnp.concatenate([x, vp], axis=-1), w['s_v'],
+                            preferred_element_type=acc))     # (rows, H*_DV)
 
     # Per-replica attention, phase-separated: all logits dots back-to-back,
     # one stacked softmax per replica, then the value dots. The softmax
     # weights are also stacked (L, RT*H, L) for the batched pair dot below.
     outs = []                          # per replica: (L, H*_DV) values
     alpha_rows = []                    # per replica: (L, H, L) bf16
+    lg_diag = None
+    if stacked_logits and RT > 1:
+        # One (rows, rows) dot per head; keep only the RT diagonal (L, L)
+        # blocks (cross-replica blocks are waste MACs the MXU shape pays
+        # for 4x fewer dot launches).
+        lg_diag = []
+        for h in range(H):
+            full = jax.lax.dot_general(
+                qa[:, h * _DA:(h + 1) * _DA], ka[:, h * _DA:(h + 1) * _DA],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            lg_diag.append([full[r * L:(r + 1) * L, r * L:(r + 1) * L]
+                            for r in range(RT)])
     for r in range(RT):
         qa_r = qa[r * L:(r + 1) * L]
         ka_r = ka[r * L:(r + 1) * L]
-        logits = [jax.lax.dot_general(
-            qa_r[:, h * _DA:(h + 1) * _DA], ka_r[:, h * _DA:(h + 1) * _DA],
-            (((1,), (1,)), ((), ())), preferred_element_type=f32)
-            for h in range(H)]
+        if lg_diag is not None:
+            logits = [lg_diag[h][r] for h in range(H)]
+        else:
+            logits = [jax.lax.dot_general(
+                qa_r[:, h * _DA:(h + 1) * _DA],
+                ka_r[:, h * _DA:(h + 1) * _DA],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                for h in range(H)]
         # bias stays bf16 in VMEM; the add promotes on the fly (a full-f32
         # copy cost 0.78 MB of the VMEM budget that gates the replica tile).
-        alpha = jax.nn.softmax(jnp.stack(logits, 0) + bias, axis=-1)
-        ab = alpha.astype(dt)                                # (H, L, L)
+        lg = jnp.stack(logits, 0) + bias
+        if softmax_bf16:
+            ab = jax.nn.softmax(lg.astype(dt), axis=-1)      # (H, L, L)
+        else:
+            ab = jax.nn.softmax(lg, axis=-1).astype(dt)
         alpha_rows.append(ab.transpose(1, 0, 2))             # (L, H, L)
         vvp_r = vvp[r * L:(r + 1) * L]
         outs.append(jnp.concatenate(
@@ -216,7 +260,7 @@ _W_NAMES = ('w_pts', 's_q', 's_k', 's_v', 'b_q', 'b_k', 'pool',
 
 
 def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
-                    *w_refs, RT, H, QK, V, P, PV, Cz):
+                    *w_refs, RT, H, QK, V, P, PV, Cz, **body_opts):
     """Per-layer kernel: load block refs, run :func:`_gablock_body`, store."""
     out_ref = w_refs[-1]
     w = {n: r[...] for n, r in zip(_W_NAMES, w_refs[:-1])}
@@ -229,18 +273,26 @@ def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
     t = t_ref[...].reshape(rows, 3).astype(dt)
     mask_rows = mask_ref[...].reshape(rows, 1).astype(f32)
     out = _gablock_body(x_in, R, t, z_ref[...], bias_ref[...], mask_rows, w,
-                        RT=RT, H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz)
+                        RT=RT, H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz,
+                        **body_opts)
     out_ref[...] = out.reshape(RT, L, -1).astype(out_ref.dtype)
 
 
 def _encoder_chain_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
-                          *w_refs, RT, H, QK, V, P, PV, Cz, NL):
+                          *w_refs, RT, H, QK, V, P, PV, Cz, NL,
+                          unroll=False, **body_opts):
     """Whole-encoder kernel: all NL layers per grid cell, x VMEM-resident.
 
     Weight refs arrive stacked with a leading layer dim (see
     :func:`stack_encoder_weights`); ``bias_ref`` is (NL, H, L, L). One grid
     cell runs the full 6-layer stack for its replica tile — 6x fewer grid
     iterations and no HBM round trip of x between layers (judge r4 next #1).
+
+    The layer loop is a ``fori_loop`` with dynamic leading-dim indexing
+    into the stacked weight refs (one traced body): the fully-unrolled
+    variant produced a Mosaic program so large its compile never returned
+    at production dims. ``unroll=True`` keeps the unrolled form for
+    comparison at small dims.
     """
     out_ref = w_refs[-1]
     f32 = jnp.float32
@@ -252,10 +304,18 @@ def _encoder_chain_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
     t = t_ref[...].reshape(rows, 3).astype(dt)
     mask_rows = mask_ref[...].reshape(rows, 1).astype(f32)
     z = z_ref[...]
-    for i in range(NL):
+
+    def layer(i, x_in):
         w = {n: r[i] for n, r in zip(_W_NAMES, w_refs[:-1])}
-        x_in = _gablock_body(x_in, R, t, z, bias_ref[i], mask_rows, w,
-                             RT=RT, H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz)
+        return _gablock_body(x_in, R, t, z, bias_ref[i], mask_rows, w,
+                             RT=RT, H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz,
+                             **body_opts)
+
+    if unroll:
+        for i in range(NL):
+            x_in = layer(i, x_in)
+    else:
+        x_in = jax.lax.fori_loop(0, NL, layer, x_in)
     out_ref[...] = x_in.reshape(RT, L, -1).astype(out_ref.dtype)
 
 
@@ -368,7 +428,7 @@ def _pick_rt(reps: int, L: int, rt=None, n_layers: int = 1) -> int:
 
 
 def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
-                        rt=None, interpret: bool = False):
+                        rt=None, interpret: bool = False, body_opts=None):
     """One fused IPA block: x (N, L, F) f32 -> updated x (N, L, F) f32.
 
     z (Nc, L, Cz, L) — the pair tensor TRANSPOSED so L rides the lane dim
@@ -394,7 +454,7 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
     kernel = functools.partial(_gablock_kernel, RT=RT, H=H, QK=QK, V=V,
-                               P=P, PV=PV, Cz=Cz)
+                               P=P, PV=PV, Cz=Cz, **(body_opts or {}))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -417,7 +477,8 @@ def stack_encoder_weights(weight_bundles):
 
 
 def fused_encoder_chained(stacked, num_layers, R, t, x, z, biases, mask,
-                          reps: int = 1, rt=None, interpret: bool = False):
+                          reps: int = 1, rt=None, interpret: bool = False,
+                          body_opts=None):
     """All ``num_layers`` IPA blocks in ONE kernel call per replica tile.
 
     x stays VMEM-resident across the whole stack (no HBM round trip between
@@ -456,7 +517,8 @@ def fused_encoder_chained(stacked, num_layers, R, t, x, z, biases, mask,
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
     kernel = functools.partial(_encoder_chain_kernel, RT=RT, H=H, QK=QK,
-                               V=V, P=P, PV=PV, Cz=Cz, NL=NL)
+                               V=V, P=P, PV=PV, Cz=Cz, NL=NL,
+                               **(body_opts or {}))
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -486,7 +548,8 @@ def build_encoder_weights(enc_params, num_layers: int, dtype=jnp.bfloat16):
 
 
 def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
-                        reps: int = 1, rt=None, interpret: bool = False):
+                        reps: int = 1, rt=None, interpret: bool = False,
+                        body_opts=None):
     """Run the whole GAEncoder stack through the fused per-layer kernel.
 
     Signature mirrors GAEncoder.__call__: R (N, L, 3, 3) or a planar tuple;
@@ -508,5 +571,5 @@ def fused_encoder_apply(weight_bundles, R, t, x, z, biases, mask,
     for i, wb in enumerate(weight_bundles):
         x = fused_gablock_layer(x, R9, t, z, biases[i].astype(jnp.bfloat16),
                                 mask_f, wb, reps=reps, rt=rt,
-                                interpret=interpret)
+                                interpret=interpret, body_opts=body_opts)
     return x

@@ -120,6 +120,21 @@ def bench(reps, rts):
             stacked, NL, R9, t, xx, z, bst, mask, reps=reps, rt=r),
             f'chained 6-layer   rt={rt}')
 
+    # Body variants on the PER-LAYER kernel (first rt only) — the chained
+    # kernel's dynamic weight indexing + row slicing crashed the remote
+    # Mosaic compile for these, and chaining itself measured ~3%.
+    # softmax_bf16 measured 0.44 max abs err in interpret parity — excluded.
+    variants = [({'split_gemm': True}, 'layer+split_gemm'),
+                ({'stacked_logits': True}, 'layer+stacked_lg'),
+                ({'dot_bf16': True}, 'layer+dot_bf16'),
+                ({'split_gemm': True, 'stacked_logits': True,
+                  'dot_bf16': True}, 'layer+all3')]
+    for opts, label in variants:
+        timed(lambda xx, o=opts: fused_encoder_apply(
+            bundles, R9, t, xx, z, biases, mask, reps=reps, rt=rts[0],
+            body_opts=o),
+            f'{label:18s} rt={rts[0]}')
+
 
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'parity'
