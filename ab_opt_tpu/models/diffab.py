@@ -323,6 +323,12 @@ class DiffAb:
                 # (scripts/bench_fused.py); default picks by VMEM budget.
                 rt_env = os.environ.get('AB_OPT_FUSED_RT')
                 rt = int(rt_env) if rt_env else None
+                # Kernel-body restructurings (ops/gablock_pallas.py
+                # _gablock_body), comma-separated for on-chip sweeps:
+                # AB_OPT_FUSED_BODY=split_gemm,stacked_logits
+                body_env = os.environ.get('AB_OPT_FUSED_BODY', '')
+                body_opts = {k.strip(): True for k in body_env.split(',')
+                             if k.strip()} or None
                 # Chained whole-encoder kernel: all layers per grid cell,
                 # x VMEM-resident across the stack (opt-out via
                 # AB_OPT_FUSED_CHAIN=0; needs the raised scoped-VMEM
@@ -338,11 +344,12 @@ class DiffAb:
                         axis=1)                    # (Nc, NL, H, L, L)
                     fused_fn = lambda R, t, x, m: fused_encoder_chained(
                         stacked, self.cfg.num_layers, R, t, x, z_c, bias_st,
-                        m, reps=reps, rt=rt, interpret=interp)
+                        m, reps=reps, rt=rt, interpret=interp,
+                        body_opts=body_opts)
                 else:
                     fused_fn = lambda R, t, x, m: fused_encoder_apply(
                         bundles, R, t, x, z_c, pair_biases, m, reps=reps,
-                        rt=rt, interpret=interp)
+                        rt=rt, interpret=interp, body_opts=body_opts)
             else:
                 fast_weights = precompute_encoder_fast_weights(
                     enc_params, self.cfg.num_layers,

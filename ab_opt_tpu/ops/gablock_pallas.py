@@ -86,7 +86,7 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                   Cz, split_gemm=False, softmax_bf16=False,
-                  stacked_logits=False, dot_bf16=False):
+                  stacked_logits=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -101,9 +101,8 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     attention softmax in bf16 (logit dots still accumulate f32).
     ``stacked_logits``: one (RT*L, RT*L) logit dot per head (the RT diagonal
     (L, L) blocks are the real logits) — RT^2/RT more MACs for RT x fewer,
-    MXU-shaped dots. ``dot_bf16``: ask the MXU for bf16 dot outputs
-    directly (accumulation stays f32 inside the MXU) instead of converting
-    f32 results on the VPU afterwards.
+    MXU-shaped dots. (A dot_bf16 variant — bf16 dot outputs straight off
+    the MXU — is rejected by Mosaic: 'tpu.matmul' requires an f32 acc.)
     """
     f32 = jnp.float32
     dt = jnp.bfloat16
@@ -112,8 +111,8 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     HP, HPV = H * P, H * PV
 
     x = x_in.astype(dt)
-    acc = dt if dot_bf16 else f32
-    to_dt = (lambda a: a) if dot_bf16 else (lambda a: a.astype(dt))
+    acc = f32
+    to_dt = lambda a: a.astype(dt)
 
     # Points: one fused projection, OPERAND-major ([qp | kp | vp], each
     # component-major inside — build_gablock_weights permutes the columns),
