@@ -86,7 +86,7 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                   Cz, split_gemm=False, softmax_bf16=False,
-                  stacked_logits=False):
+                  stacked_logits=False, merged_x=False, fast_softmax=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -103,6 +103,14 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     (L, L) blocks are the real logits) — RT^2/RT more MACs for RT x fewer,
     MXU-shaped dots. (A dot_bf16 variant — bf16 dot outputs straight off
     the MXU — is rejected by Mosaic: 'tpu.matmul' requires an f32 acc.)
+    ``merged_x``: ONE mega GEMM for everything that contracts x — the point
+    projection plus the x-rows of qa/ka/vvp (w['w_mx'], lane-aligned column
+    blocks [xq | xk | xv | pts]) — replacing 4 dots + 3 operand concats
+    (the round-4 ablation showed the operand GEMMs latency-bound, not
+    MAC-bound: fewer, deeper dots). The |p|^2 pool dots also merge into one
+    via a row concat. ``fast_softmax``: skip the max-subtract pass (logits
+    clamped at 60; masked columns carry bias -1e5 so exp underflows to 0
+    exactly; an epsilon keeps fully-masked rows finite).
     """
     f32 = jnp.float32
     dt = jnp.bfloat16
@@ -113,24 +121,46 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     x = x_in.astype(dt)
     acc = f32
     to_dt = lambda a: a.astype(dt)
+    F = x.shape[1]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
 
-    # Points: one fused projection, OPERAND-major ([qp | kp | vp], each
-    # component-major inside — build_gablock_weights permutes the columns),
-    # so each operand rotates straight off its contiguous slice. v2 kept a
-    # component-major layout and re-gathered qp/kp/vp with 3-way concats
-    # per operand — one full extra copy of the rotated point tensor.
-    pts = to_dt(jnp.dot(x, w['w_pts'], preferred_element_type=acc))
+    if merged_x:
+        HDA, HDV = w['s_q'].shape[1], w['s_v'].shape[1]
+        big = to_dt(jnp.dot(x, w['w_mx'], preferred_element_type=acc))
+        xq = big[:, :HDA]
+        xk = big[:, HDA:2 * HDA]
+        xv = big[:, 2 * HDA:2 * HDA + HDV]
+        pts = big[:, 2 * HDA + HDV:]
+    else:
+        # Points: one fused projection, OPERAND-major ([qp | kp | vp], each
+        # component-major inside — build_gablock_weights permutes the
+        # columns), so each operand rotates straight off its contiguous
+        # slice. v2 kept a component-major layout and re-gathered qp/kp/vp
+        # with 3-way concats per operand — one full extra copy of the
+        # rotated point tensor.
+        pts = to_dt(jnp.dot(x, w['w_pts'], preferred_element_type=acc))
     qp = _rotate_sections(R, t, pts[:, :3 * HP], HP)         # (rows, 3*HP)
     kp = _rotate_sections(R, t, pts[:, 3 * HP:6 * HP], HP)
     vp = _rotate_sections(R, t, pts[:, 6 * HP:], HPV)        # (rows, 3*HPV)
 
     # Attention operands: one GEMM each from [x | points | |p|^2].
     pool = w['pool']
-    sq_q = to_dt(jnp.dot(qp * qp, pool, preferred_element_type=acc))
-    sq_k = to_dt(jnp.dot(kp * kp, pool, preferred_element_type=acc))
-    F = x.shape[1]
-    if split_gemm:
-        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    if merged_x:
+        # One pool dot for both squared-norm blocks (row concat doubles M).
+        sq = to_dt(jnp.dot(jnp.concatenate([qp * qp, kp * kp], axis=0),
+                           pool, preferred_element_type=acc))
+        sq_q, sq_k = sq[:rows], sq[rows:]
+    else:
+        sq_q = to_dt(jnp.dot(qp * qp, pool, preferred_element_type=acc))
+        sq_k = to_dt(jnp.dot(kp * kp, pool, preferred_element_type=acc))
+    if merged_x:
+        qa = (xq.astype(f32) + dot(qp, w['s_q'][F:F + 3 * HP])
+              + dot(sq_q, w['s_q'][F + 3 * HP:])).astype(dt) + w['b_q']
+        ka = (xk.astype(f32) + dot(kp, w['s_k'][F:F + 3 * HP])
+              + dot(sq_k, w['s_k'][F + 3 * HP:])).astype(dt) + w['b_k']
+        vvp = (xv.astype(f32)
+               + dot(vp, w['s_v'][F:])).astype(dt)           # (rows, H*_DV)
+    elif split_gemm:
         qa = (dot(x, w['s_q'][:F]) + dot(qp, w['s_q'][F:F + 3 * HP])
               + dot(sq_q, w['s_q'][F + 3 * HP:])).astype(dt) + w['b_q']
         ka = (dot(x, w['s_k'][:F]) + dot(kp, w['s_k'][F:F + 3 * HP])
@@ -178,7 +208,14 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
         # bias stays bf16 in VMEM; the add promotes on the fly (a full-f32
         # copy cost 0.78 MB of the VMEM budget that gates the replica tile).
         lg = jnp.stack(logits, 0) + bias
-        if softmax_bf16:
+        if fast_softmax:
+            # Skip the max-subtract pass: logits clamped at 60 (exp(60) is
+            # finite in f32), masked columns carry -1e5 bias -> exp == 0
+            # exactly; eps keeps fully-padded rows finite (row mask zeroes
+            # their output downstream anyway).
+            e = jnp.exp(jnp.minimum(lg, 60.0))
+            ab = (e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-9)).astype(dt)
+        elif softmax_bf16:
             ab = jax.nn.softmax(lg.astype(dt), axis=-1)      # (H, L, L)
         else:
             ab = jax.nn.softmax(lg, axis=-1).astype(dt)
@@ -258,11 +295,29 @@ _W_NAMES = ('w_pts', 's_q', 's_k', 's_v', 'b_q', 'b_k', 'pool',
             'ln2')
 
 
+def _weight_names(body_opts):
+    """Weight-ref order for a body-variant set. ``merged_x`` swaps the point
+    projection for the mega x-GEMM matrix (s_q/s_k/s_v stay: their point and
+    |p|^2 rows are still contracted separately)."""
+    if body_opts and body_opts.get('merged_x'):
+        return ('w_mx',) + _W_NAMES[1:]
+    return _W_NAMES
+
+
+def merged_x_weights(wb):
+    """The merged_x mega-GEMM matrix from a per-layer bundle: lane-aligned
+    column blocks [xq (H*_DA) | xk | xv (H*_DV) | pts] so every slice of the
+    GEMM output starts at a 128-aligned lane offset."""
+    F = wb['wm1'].shape[0]
+    return jnp.concatenate([wb['s_q'][:F], wb['s_k'][:F], wb['s_v'][:F],
+                            wb['w_pts']], axis=1)
+
+
 def _gablock_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
                     *w_refs, RT, H, QK, V, P, PV, Cz, **body_opts):
     """Per-layer kernel: load block refs, run :func:`_gablock_body`, store."""
     out_ref = w_refs[-1]
-    w = {n: r[...] for n, r in zip(_W_NAMES, w_refs[:-1])}
+    w = {n: r[...] for n, r in zip(_weight_names(body_opts), w_refs[:-1])}
     f32 = jnp.float32
     dt = jnp.bfloat16
     L = x_ref.shape[1]
@@ -305,7 +360,7 @@ def _encoder_chain_kernel(x_ref, R_ref, t_ref, z_ref, bias_ref, mask_ref,
     z = z_ref[...]
 
     def layer(i, x_in):
-        w = {n: r[i] for n, r in zip(_W_NAMES, w_refs[:-1])}
+        w = {n: r[i] for n, r in zip(_weight_names(body_opts), w_refs[:-1])}
         return _gablock_body(x_in, R, t, z, bias_ref[i], mask_rows, w,
                              RT=RT, H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz,
                              **body_opts)
@@ -353,7 +408,7 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
     perm = np.concatenate(
         [np.arange(c * n_tot + off, c * n_tot + off + w)
          for off, w in ((0, HP), (HP, HP), (2 * HP, HPV)) for c in range(3)])
-    return {
+    wb = {
         'w_pts': fast['w_pts'][:, perm],
         's_q': fast['s_q'], 's_k': fast['s_k'], 's_v': fast['s_v'],
         'b_q': fast['bias_q'].reshape(1, -1).astype(dtype),
@@ -371,6 +426,8 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
         'ln2': ln('LayerNorm_1').astype(jnp.float32),
         'dims': (H, QK, V, P3 // 3, PV3 // 3),
     }
+    wb['w_mx'] = merged_x_weights(wb)
+    return wb
 
 
 def _vmem_budget_bytes() -> int:
@@ -452,25 +509,27 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
     b_spec = pl.BlockSpec((None, H, L, L), lambda n, j: (n, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
+    names = _weight_names(body_opts)
     kernel = functools.partial(_gablock_kernel, RT=RT, H=H, QK=QK, V=V,
                                P=P, PV=PV, Cz=Cz, **(body_opts or {}))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk(F), blk(9), blk(3), z_spec, b_spec, blk(1)]
-                 + [const(wb[n].shape) for n in _W_NAMES],
+                 + [const(wb[n].shape) for n in names],
         out_specs=blk(F),
         out_shape=jax.ShapeDtypeStruct((Nc, reps, L, F), jnp.float32),
         interpret=interpret,
-    )(x4, R4, t4, z, bias, m4, *(wb[n] for n in _W_NAMES))
+    )(x4, R4, t4, z, bias, m4, *(wb[n] for n in names))
     return out.reshape(N, L, F)
 
 
 def stack_encoder_weights(weight_bundles):
     """Stack per-layer bundles along a leading layer axis for the chained
     whole-encoder kernel (:func:`_encoder_chain_kernel`)."""
+    names = set(_W_NAMES) | ({'w_mx'} if 'w_mx' in weight_bundles[0] else set())
     stacked = {n: jnp.stack([wb[n] for wb in weight_bundles])
-               for n in _W_NAMES}
+               for n in names}
     stacked['dims'] = weight_bundles[0]['dims']
     return stacked
 
@@ -515,6 +574,7 @@ def fused_encoder_chained(stacked, num_layers, R, t, x, z, biases, mask,
                           lambda n, j: (n, 0, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
+    names = _weight_names(body_opts)
     kernel = functools.partial(_encoder_chain_kernel, RT=RT, H=H, QK=QK,
                                V=V, P=P, PV=PV, Cz=Cz, NL=NL,
                                **(body_opts or {}))
@@ -522,11 +582,11 @@ def fused_encoder_chained(stacked, num_layers, R, t, x, z, biases, mask,
         kernel,
         grid=grid,
         in_specs=[blk(F), blk(9), blk(3), z_spec, b_spec, blk(1)]
-                 + [const(stacked[n].shape) for n in _W_NAMES],
+                 + [const(stacked[n].shape) for n in names],
         out_specs=blk(F),
         out_shape=jax.ShapeDtypeStruct((Nc, reps, L, F), jnp.float32),
         interpret=interpret,
-    )(x4, R4, t4, z, biases, m4, *(stacked[n] for n in _W_NAMES))
+    )(x4, R4, t4, z, biases, m4, *(stacked[n] for n in names))
     return out.reshape(N, L, F)
 
 

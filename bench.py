@@ -113,16 +113,21 @@ def main():
         dt = time.perf_counter() - t0
         return num_replicas * iters / dt, dt / iters
 
-    def train_throughput(batch_size=8, iters=ITERS):
+    def train_throughput(batch_size=16, iters=ITERS):
         """Shipped train step (sharded_train_step, 1-device mesh) at
         production dims; the per-round regression track for judge ask r4#2.
-        Matches the reference lifecycle's other half (AbDock/train.py:96-126);
-        divisor from the measured torch baseline (BASELINE.md)."""
+        Matches the reference lifecycle's other half (AbDock/train.py:96-126)
+        at the reference's operational batch (dock_single.yml batch_size: 16);
+        divisor from the measured torch baseline (BASELINE.md). Compute dtype
+        bf16 — the configuration every validated training run used
+        (scripts/validation_train.py; VALIDATION.md rounds 3-4: 6000-step
+        production-dims runs reach 2.24 A / AAR 0.86) — with f32 params,
+        optimizer state, and losses."""
         import optax
         import numpy as np
 
         from ab_opt_tpu.parallel import make_mesh, sharded_train_step
-        train_model = DiffAb(DiffAbConfig())     # train dtype: f32 (configs)
+        train_model = DiffAb(DiffAbConfig(dtype='bfloat16'))
         tb = synthetic_batch(np.random.default_rng(1), N=batch_size, L=L,
                              n_ab=int(L * 0.7), gen_lo=L // 4,
                              gen_hi=L // 4 + 8)

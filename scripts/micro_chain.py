@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ab_opt_tpu.ops.gablock_pallas import (fused_encoder_apply,
                                            fused_encoder_chained,
+                                           merged_x_weights,
                                            stack_encoder_weights,
                                            _planar_pool_np, _DA, _DV)
 
@@ -57,6 +58,7 @@ def make_inputs(reps, nl=NL, key=0, L=L):
             'ln2': nrm(kk[14], (2, F), f32) + 1.0,
             'dims': (H, QK, V, P, PV),
         })
+        bundles[-1]['w_mx'] = merged_x_weights(bundles[-1])
     N = reps
     x = jax.random.normal(ks[0], (N, L, F), f32)
     R9 = jax.random.normal(ks[1], (N, L, 9), f32)
@@ -119,8 +121,11 @@ def bench_1layer(reps, rts):
     variants = [(None, 'base'),
                 ({'split_gemm': True}, 'split_gemm'),
                 ({'stacked_logits': True}, 'stacked_lg'),
-                ({'split_gemm': True, 'stacked_logits': True},
-                 'split+stacked')]
+                ({'merged_x': True}, 'merged_x'),
+                ({'fast_softmax': True}, 'fast_sm'),
+                ({'merged_x': True, 'fast_softmax': True}, 'merged+fsm'),
+                ({'merged_x': True, 'fast_softmax': True,
+                  'stacked_logits': True}, 'mx+fsm+stk')]
     for rt in rts:
         for o, label in variants:
             timed(lambda xx, o=o, r=rt: fused_encoder_apply(

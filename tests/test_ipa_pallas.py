@@ -254,6 +254,38 @@ class TestFusedBlock:
                                    np.asarray(ref)[valid],
                                    atol=0.05, rtol=0.05)
 
+    @pytest.mark.parametrize('opts', [
+        {'split_gemm': True},
+        {'stacked_logits': True},
+        {'merged_x': True},
+        {'fast_softmax': True},
+        {'merged_x': True, 'fast_softmax': True, 'stacked_logits': True},
+    ])
+    def test_body_variants_match_base(self, rng, opts):
+        """Measurement-gated kernel-body restructurings (AB_OPT_FUSED_BODY)
+        keep parity with the base body at small dims (interpret mode)."""
+        from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
+                                                   fused_gablock_layer,
+                                                   transpose_pair_for_fused)
+        from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
+        block, params, (R, t, x, z, mask) = self._setup(rng, N=4, reps=2)
+        bp = params['params']
+        wb = build_gablock_weights(bp)
+        pw = bp['proj_pair_bias']['kernel'].astype(jnp.bfloat16)
+        bias = precompute_pair_bias(z.astype(jnp.bfloat16), pw, mask[::2],
+                                    out_dtype=jnp.bfloat16)
+        N, L, F = x.shape
+        args = (x, R.reshape(N, L, 9).astype(jnp.float32), t,
+                transpose_pair_for_fused(z.astype(jnp.bfloat16)), bias,
+                mask.astype(jnp.float32), wb)
+        base = fused_gablock_layer(*args, reps=2, rt=2, interpret=True)
+        got = fused_gablock_layer(*args, reps=2, rt=2, interpret=True,
+                                  body_opts=opts)
+        valid = np.asarray(mask, bool)
+        np.testing.assert_allclose(np.asarray(got)[valid],
+                                   np.asarray(base)[valid],
+                                   atol=0.02, rtol=0.02)
+
     def test_sample_e2e_fused(self, rng):
         """DiffAb.sample with ipa_impl='pallas' routes the fused block
         kernel (interpret on CPU) end-to-end: finite output, context
