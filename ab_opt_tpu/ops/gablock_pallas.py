@@ -86,7 +86,8 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 
 def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                   Cz, split_gemm=False, softmax_bf16=False,
-                  stacked_logits=False, merged_x=False, fast_softmax=False):
+                  stacked_logits=False, merged_x=False, fast_softmax=False,
+                  dual=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -110,12 +111,26 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     MAC-bound: fewer, deeper dots). The |p|^2 pool dots also merge into one
     via a row concat. ``fast_softmax``: skip the max-subtract pass (logits
     clamped at 60; masked columns carry bias -1e5 so exp underflows to 0
-    exactly; an epsilon keeps fully-masked rows finite).
+    exactly; an epsilon keeps fully-masked rows finite). ``dual``: run the
+    block as two independent half-tiles back-to-back — the body is a serial
+    MXU-phase / VPU-phase chain, so two dependency-free copies give the
+    Mosaic scheduler a chance to overlap one half's vector work with the
+    other's matmuls.
     """
     f32 = jnp.float32
     dt = jnp.bfloat16
     rows = x_in.shape[0]
     L = rows // RT
+    if dual and RT % 2 == 0 and RT > 1:
+        opts = dict(split_gemm=split_gemm, softmax_bf16=softmax_bf16,
+                    stacked_logits=stacked_logits, merged_x=merged_x,
+                    fast_softmax=fast_softmax)
+        h = rows // 2
+        halves = [_gablock_body(x_in[o:o + h], R[o:o + h], t[o:o + h], z,
+                                bias, mask_rows[o:o + h], w, RT=RT // 2,
+                                H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz, **opts)
+                  for o in (0, h)]
+        return jnp.concatenate(halves, axis=0)
     HP, HPV = H * P, H * PV
 
     x = x_in.astype(dt)

@@ -125,7 +125,10 @@ def bench_1layer(reps, rts):
                 ({'fast_softmax': True}, 'fast_sm'),
                 ({'merged_x': True, 'fast_softmax': True}, 'merged+fsm'),
                 ({'merged_x': True, 'fast_softmax': True,
-                  'stacked_logits': True}, 'mx+fsm+stk')]
+                  'stacked_logits': True}, 'mx+fsm+stk'),
+                ({'dual': True}, 'dual'),
+                ({'dual': True, 'merged_x': True,
+                  'fast_softmax': True}, 'dual+mx+fsm')]
     for rt in rts:
         for o, label in variants:
             timed(lambda xx, o=o, r=rt: fused_encoder_apply(

@@ -260,6 +260,8 @@ class TestFusedBlock:
         {'merged_x': True},
         {'fast_softmax': True},
         {'merged_x': True, 'fast_softmax': True, 'stacked_logits': True},
+        {'dual': True},
+        {'dual': True, 'merged_x': True},
     ])
     def test_body_variants_match_base(self, rng, opts):
         """Measurement-gated kernel-body restructurings (AB_OPT_FUSED_BODY)
