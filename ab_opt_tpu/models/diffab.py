@@ -325,10 +325,19 @@ class DiffAb:
                 rt = int(rt_env) if rt_env else None
                 # Kernel-body restructurings (ops/gablock_pallas.py
                 # _gablock_body), comma-separated for on-chip sweeps:
-                # AB_OPT_FUSED_BODY=split_gemm,stacked_logits
-                body_env = os.environ.get('AB_OPT_FUSED_BODY', '')
-                body_opts = {k.strip(): True for k in body_env.split(',')
-                             if k.strip()} or None
+                # AB_OPT_FUSED_BODY=split_gemm,stacked_logits. Default is
+                # the measured round-5 winner (scripts/serve_sweep.py,
+                # PERF.md: 217 vs 204 samples/s at the 256-trajectory
+                # headline): merged_x mega-GEMM + single-pass softmax +
+                # dual half-tiles. AB_OPT_FUSED_BODY=none reverts to the
+                # base body.
+                body_env = os.environ.get('AB_OPT_FUSED_BODY',
+                                          'dual,merged_x,fast_softmax')
+                if body_env.strip().lower() in ('', 'none', 'base'):
+                    body_opts = None
+                else:
+                    body_opts = {k.strip(): True for k in body_env.split(',')
+                                 if k.strip()}
                 # Chained whole-encoder kernel: all layers per grid cell,
                 # x VMEM-resident across the stack (opt-out via
                 # AB_OPT_FUSED_CHAIN=0; needs the raised scoped-VMEM

@@ -85,12 +85,13 @@ def main():
                                 gen_hi=L // 4 + 8)
     params = model.init(jax.random.key(0), batch)
 
-    # Opt-in PRNG implementation sweep (AB_OPT_PRNG=rbg): per-step key
-    # splitting + normal/gumbel draws ride the key's impl; rbg is much
-    # cheaper than threefry on TPU and the sampler is impl-agnostic.
-    prng_impl = os.environ.get('AB_OPT_PRNG')
-    make_key = ((lambda i: jax.random.key(i, impl=prng_impl)) if prng_impl
-                else jax.random.key)
+    # PRNG impl: measured on chip (scripts/serve_sweep.py, round 5) — rbg
+    # keys are a WASH at the headline point (217.7 vs 217.1 samples/s with
+    # the fused body; 203.6 vs 204.3 without): per-step key splitting +
+    # normal/gumbel draws are too small a slice of the 100-step scan to
+    # matter. The AB_OPT_PRNG sweep knob is therefore gone; the default
+    # threefry keys keep cross-backend reproducibility.
+    make_key = jax.random.key
 
     def throughput(num_replicas, iters=ITERS):
         # jit_sample = jax.jit + the TPU scoped-VMEM raise every shipped

@@ -6,7 +6,6 @@ is ``design_pdb.py -n 1000 -b 1000`` (AbDock/README.md:61), so large fan-outs
 are the honest serving shape.
 
 Usage: python scripts/fanout_sweep.py [reps ...]   (default: 256 512 1024)
-Set AB_OPT_PRNG=rbg to sweep with the lazy-rbg PRNG.
 """
 import os
 import sys
@@ -26,11 +25,11 @@ def main():
     batch = real_complex_batch(L=128)
     params = model.init(jax.random.key(0), batch)
 
-    prng_impl = os.environ.get('AB_OPT_PRNG')
-    make_key = ((lambda i: jax.random.key(i, impl=prng_impl)) if prng_impl
-                else jax.random.key)
-    print(f'backend={jax.default_backend()} prng={prng_impl or "default"}',
-          flush=True)
+    # (An AB_OPT_PRNG=rbg sweep knob lived here rounds 3-5; measured a
+    # wash at every fan-out — scripts/serve_sweep.py, PERF.md round 5 — so
+    # the default threefry keys stand and the knob is gone.)
+    make_key = jax.random.key
+    print(f'backend={jax.default_backend()}', flush=True)
 
     # jit_sample = jax.jit + the scoped-VMEM raise every shipped sampling
     # entry point uses — this script picks bench.py's headline point, so it

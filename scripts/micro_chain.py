@@ -198,10 +198,57 @@ def bench(reps, rts):
             f'{label:18s} rt={rts[0]}')
 
 
+def bench_rt(reps, rts):
+    """Deep replica tiles under a raised (64 MB) scoped-VMEM budget: the
+    phase ablation's GEMM-skeleton floor fell 1.41 -> 1.17 ms going rt 4 -> 8,
+    so deeper tiles (more rows per latency-bound dot) are the remaining
+    in-kernel lever. Benches base and the best measured body variant only."""
+    import os
+    os.environ['AB_OPT_SCOPED_VMEM_KIB'] = '65536'
+    opts = {'xla_tpu_scoped_vmem_limit_kib': 65536}
+    bundles, x, R9, t, z, biases, mask = make_inputs(reps, nl=1)
+
+    def timed(fn, label):
+        def run(xx):
+            c, _ = jax.lax.scan(lambda c, _: (fn(c), 0), xx, None,
+                                length=ITERS)
+            return c
+        runj = jax.jit(run, compiler_options=opts)
+        for attempt in range(2):
+            try:
+                out = runj(x)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                out = runj(x)
+                jax.block_until_ready(out)
+                ms = (time.perf_counter() - t0) / ITERS * 1e3
+                print(f'{label:34s} {ms:8.3f} ms/layer', flush=True)
+                return ms
+            except Exception as e:
+                if attempt == 0 and 'remote_compile' in str(e):
+                    time.sleep(20)
+                    continue
+                print(f'{label:34s} FAILED {type(e).__name__}: '
+                      f'{str(e)[:160]}', flush=True)
+                return None
+
+    best = {'dual': True, 'merged_x': True, 'fast_softmax': True}
+    for rt in rts:
+        for o, lbl in [(None, 'base'), (best, 'dual+mx+fsm')]:
+            timed(lambda xx, o=o, r=rt: fused_encoder_apply(
+                bundles, R9, t, xx, z, biases, mask, reps=reps, rt=r,
+                body_opts=o),
+                f'reps={reps} {lbl:12s} rt={rt}')
+
+
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'parity'
     if mode == 'parity':
         parity()
+    elif mode == 'rt':
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+        rts = [int(a) for a in sys.argv[3:]] or [4, 8, 16]
+        bench_rt(reps, rts)
     elif mode == '1layer':
         reps = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         rts = [int(a) for a in sys.argv[3:]] or [4, 8]
