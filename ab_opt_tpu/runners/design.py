@@ -16,6 +16,7 @@ import copy
 import dataclasses
 import logging
 import os
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -412,10 +413,17 @@ def design_for_structure(structure, model, params, cfg: Dict,
         native_aa_gen = data_tmpl['aa'][gen_flag_full]
 
         single_np = {k: v for k, v in single.items() if isinstance(v, np.ndarray)}
+        # Stage wall-clocks for operational-scale runs (sampling incl.
+        # device reconstruction; paste-back + per-sample PDB writes; DockQ;
+        # consensus ranking) — logged per variant at the end.
+        stage_s = {'sample': 0.0, 'paste_io': 0.0, 'dockq': 0.0, 'rank': 0.0}
+        t_var0 = time.perf_counter()
         for lo in range(0, args.num_samples, args.batch_size):
             n = min(args.batch_size, args.num_samples - lo)
+            t0 = time.perf_counter()
             out = sampler(single_np, jax.random.fold_in(key, lo),
                           num_replicas=n)
+            stage_s['sample'] += time.perf_counter() - t0
 
             if args.keep_traj and lo == 0 and 'traj' in out:
                 batch_np = {k: np.repeat(v, n, axis=0)
@@ -433,6 +441,7 @@ def design_for_structure(structure, model, params, cfg: Dict,
                 ppl_i = (round(float(out['perplexity'][-1, i]), 6)
                          if 'perplexity' in out else float('nan'))
 
+                t0 = time.perf_counter()
                 aa, pos_ha, mask_ha = _paste_sample(
                     data_tmpl, data_cropped, aa_i[:len(data_cropped['aa'])],
                     pos_i[:len(data_cropped['aa'])],
@@ -458,9 +467,13 @@ def design_for_structure(structure, model, params, cfg: Dict,
                                                             BBHeavyAtom.CA,
                                                             BBHeavyAtom.CB)])
 
+                stage_s['paste_io'] += time.perf_counter() - t0
+
                 row = {'AAR': aar, 'prmsd': prmsd_i, 'PPL': ppl_i}
                 if args.run_dockq:
+                    t0 = time.perf_counter()
                     dq = calc_dockq(save_path, ref_path, use_ca_only=True)
+                    stage_s['dockq'] += time.perf_counter() - t0
                     row.update({k: round(dq[k], 3)
                                 for k in ('DockQ', 'irms', 'Lrms', 'fnat')})
                 for k, v in row.items():
@@ -468,8 +481,15 @@ def design_for_structure(structure, model, params, cfg: Dict,
                 count += 1
 
         # Consensus ranking by pairwise structural similarity.
+        t0 = time.perf_counter()
         cand = np.stack(candidates).reshape(count, -1, 3)
         topk_idx = metrics.rank_commonness(cand, min(args.topk, count))
+        stage_s['rank'] = time.perf_counter() - t0
+        logger.info(
+            'variant %s timing (%d samples): sample=%.1fs paste+io=%.1fs '
+            'dockq=%.1fs rank=%.1fs total=%.1fs', variant['tag'], count,
+            stage_s['sample'], stage_s['paste_io'], stage_s['dockq'],
+            stage_s['rank'], time.perf_counter() - t_var0)
         summary = {f'{k}_mean': round(float(np.mean(v)), 3)
                    for k, v in scores.items() if v}
         # Per-metric spread + full per-sample lists: the reference's
