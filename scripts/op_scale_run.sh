@@ -17,5 +17,6 @@ mkdir -p "$OUT"
 time python dock_pdb.py \
     --pdb_path /root/reference/AbDock/data/examples/7DK2_AB_C_chothia.pdb \
     -c configs/test/dock_cdr.yml -ck "$CKPT" \
+    --heavy A --light B \
     -n 1000 -b 1000 --no_renumber -o "$OUT" -s 2026 \
     2>&1 | tee "$OUT/run.log"
