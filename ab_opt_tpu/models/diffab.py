@@ -250,8 +250,17 @@ class DiffAb:
         loss_dict = {}
         rmsd = L.masked_rmsd(self.unnormalize_position(pred_p0),
                              self.unnormalize_position(p_0), mask_generate)
+        # Per-complex mask = "has any generated residue". The reference uses
+        # the POSITIONAL mask_generate[:, 0] (dpm_full.py:195), which is only
+        # correct under its train config (initial_patch_size: 0 +
+        # remove_anchor: true puts the CDR at patch index 0); with a nonzero
+        # initial patch the first residue is context and the prmsd loss
+        # silently trains to zero. The semantic mask equals the reference's
+        # under the reference's own configs and stays live under every other
+        # crop.
         loss_dict['prmsd'] = L.prmsd_loss(
-            prmsd_logits, jax.lax.stop_gradient(rmsd), mask_generate[:, 0],
+            prmsd_logits, jax.lax.stop_gradient(rmsd),
+            mask_generate.any(axis=-1),
             cfg.dist_min, cfg.dist_max, cfg.num_bins)
 
         if cfg.obj == 'pred_x0':

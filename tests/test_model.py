@@ -41,6 +41,17 @@ class TestDiffAb:
             assert k in losses
             assert np.isfinite(float(losses[k])), (k, losses[k])
 
+    def test_prmsd_loss_live_with_mid_sequence_cdr(self, model, setup):
+        """The pRMSD confidence loss must be nonzero when the generate
+        region is NOT at patch index 0 (the reference's positional
+        mask_generate[:, 0] silently zeroes it for any crop with
+        initial_patch_size > 0; the rebuild uses the semantic any-generated
+        mask). make_batch puts the CDR at [6, 12), so a zero here means the
+        head is not training."""
+        batch, params = setup
+        losses = model.loss(params, batch, jax.random.key(3))
+        assert float(losses['prmsd']) > 1e-4, losses['prmsd']
+
     def test_loss_t0_finite(self, model, setup):
         """t=0 must not NaN (the torch reference's KL NaNs there)."""
         batch, params = setup
