@@ -58,7 +58,9 @@ def main():
 
     if variant == 'sample':
         # Trace the FULL 100-step sampling call (one trace, costs /= steps).
-        f = jax.jit(lambda pa, b, k: model.sample(
+        # jit_sample = the shipped compiler config (scoped-VMEM raise).
+        from ab_opt_tpu.utils.compile_cache import jit_sample
+        f = jit_sample(lambda pa, b, k: model.sample(
             pa, b, k, num_replicas=max(reps, 1)))
         calls, divisor = 1, cfg.num_steps
         run = lambda: f(params, batch, jax.random.key(1))
