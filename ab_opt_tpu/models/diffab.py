@@ -347,6 +347,12 @@ class DiffAb:
                 else:
                     body_opts = {k.strip(): True for k in body_env.split(',')
                                  if k.strip()}
+                if body_opts and body_opts.get('lhl'):
+                    # lhl bodies take the pair bias pre-transposed to
+                    # (Nc, L, H, L) — once here, outside the scan.
+                    from ..ops.gablock_pallas import transpose_bias_for_fused
+                    pair_biases = [transpose_bias_for_fused(b)
+                                   for b in pair_biases]
                 # Chained whole-encoder kernel: all layers per grid cell,
                 # x VMEM-resident across the stack (opt-out via
                 # AB_OPT_FUSED_CHAIN=0; needs the raised scoped-VMEM

@@ -87,7 +87,8 @@ def _rotate_sections(R, t, pts, n_pts, transpose=False, sub_t=False):
 def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                   Cz, split_gemm=False, softmax_bf16=False,
                   stacked_logits=False, merged_x=False, fast_softmax=False,
-                  dual=False):
+                  dual=False, quad=False, lhl=False, defer_norm=False,
+                  p2n_mc=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -115,21 +116,34 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     block as two independent half-tiles back-to-back — the body is a serial
     MXU-phase / VPU-phase chain, so two dependency-free copies give the
     Mosaic scheduler a chance to overlap one half's vector work with the
-    other's matmuls.
+    other's matmuls. ``quad``: same with four quarter-tiles. ``lhl``:
+    logits/softmax live in (L, H, L) layout — ``bias`` must arrive
+    pre-transposed to (L, H, L) (transpose_bias_for_fused, hoisted out of
+    the reverse scan) — so the softmax weights feed the batched pair dot
+    directly and the per-replica (H, L, L) -> (L, H, L) relayout
+    disappears. ``defer_norm`` (needs fast_softmax): keep the attention
+    weights UNnormalized through the value/pair dots and divide the (L, .)
+    aggregation outputs by the row sums instead — removes the L^2-sized
+    divide pass per (replica, head). ``p2n_mc``: apply the p2n
+    output-transform rows as ONE two-dimension-contraction dot per replica
+    ((L, H, Cz) x (H, Cz, F) contracting {H, Cz}) instead of H small dots.
     """
     f32 = jnp.float32
     dt = jnp.bfloat16
     rows = x_in.shape[0]
     L = rows // RT
-    if dual and RT % 2 == 0 and RT > 1:
+    n_sub = 4 if (quad and RT % 4 == 0) else (2 if dual and RT % 2 == 0
+                                              else 1)
+    if n_sub > 1 and RT > 1:
         opts = dict(split_gemm=split_gemm, softmax_bf16=softmax_bf16,
                     stacked_logits=stacked_logits, merged_x=merged_x,
-                    fast_softmax=fast_softmax)
-        h = rows // 2
+                    fast_softmax=fast_softmax, lhl=lhl,
+                    defer_norm=defer_norm, p2n_mc=p2n_mc)
+        h = rows // n_sub
         halves = [_gablock_body(x_in[o:o + h], R[o:o + h], t[o:o + h], z,
-                                bias, mask_rows[o:o + h], w, RT=RT // 2,
+                                bias, mask_rows[o:o + h], w, RT=RT // n_sub,
                                 H=H, QK=QK, V=V, P=P, PV=PV, Cz=Cz, **opts)
-                  for o in (0, h)]
+                  for o in range(0, rows, h)]
         return jnp.concatenate(halves, axis=0)
     HP, HPV = H * P, H * PV
 
@@ -197,7 +211,9 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     # weights are also stacked (L, RT*H, L) for the batched pair dot below.
     outs = []                          # per replica: (L, H*_DV) values
     alpha_rows = []                    # per replica: (L, H, L) bf16
+    sum_rows = []                      # defer_norm: per replica (L, H, 1)
     lg_diag = None
+    h_ax = 1 if lhl else 0             # logits stack axis: (L, H, L) | (H, L, L)
     if stacked_logits and RT > 1:
         # One (rows, rows) dot per head; keep only the RT diagonal (L, L)
         # blocks (cross-replica blocks are waste MACs the MXU shape pays
@@ -222,8 +238,18 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                 for h in range(H)]
         # bias stays bf16 in VMEM; the add promotes on the fly (a full-f32
         # copy cost 0.78 MB of the VMEM budget that gates the replica tile).
-        lg = jnp.stack(logits, 0) + bias
-        if fast_softmax:
+        # Under ``lhl`` the bias arrives pre-transposed (L, H, L), so the
+        # softmax output IS the batched-pair-dot layout — no relayout below.
+        lg = jnp.stack(logits, h_ax) + bias
+        if defer_norm:
+            # Unnormalized weights through the dots; the row sums divide
+            # the aggregation OUTPUTS (L-sized) instead of the weights
+            # (L^2-sized). exp(min(lg, 60)) stays comfortably inside f32.
+            e = jnp.exp(jnp.minimum(lg, 60.0))
+            sums = jnp.sum(e, axis=-1, keepdims=True) + 1e-9
+            sum_rows.append(sums if lhl else sums.transpose(1, 0, 2))
+            ab = e.astype(dt)
+        elif fast_softmax:
             # Skip the max-subtract pass: logits clamped at 60 (exp(60) is
             # finite in f32), masked columns carry -1e5 bias -> exp == 0
             # exactly; eps keeps fully-padded rows finite (row mask zeroes
@@ -231,15 +257,24 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
             e = jnp.exp(jnp.minimum(lg, 60.0))
             ab = (e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-9)).astype(dt)
         elif softmax_bf16:
-            ab = jax.nn.softmax(lg.astype(dt), axis=-1)      # (H, L, L)
+            ab = jax.nn.softmax(lg.astype(dt), axis=-1)
         else:
             ab = jax.nn.softmax(lg, axis=-1).astype(dt)
-        alpha_rows.append(ab.transpose(1, 0, 2))             # (L, H, L)
+        alpha_rows.append(ab if lhl else ab.transpose(1, 0, 2))  # (L, H, L)
         vvp_r = vvp[r * L:(r + 1) * L]
-        outs.append(jnp.concatenate(
-            [jnp.dot(ab[h], vvp_r[:, h * _DV:(h + 1) * _DV],
-                     preferred_element_type=f32).astype(dt)
-             for h in range(H)], axis=-1))
+        head_ab = ((lambda h: ab[:, h, :]) if lhl else (lambda h: ab[h]))
+        if defer_norm:
+            denom = ((lambda h: sums[:, h, :]) if lhl
+                     else (lambda h: sums[h]))
+            outs.append(jnp.concatenate(
+                [(jnp.dot(head_ab(h), vvp_r[:, h * _DV:(h + 1) * _DV],
+                          preferred_element_type=f32)
+                  / denom(h)).astype(dt) for h in range(H)], axis=-1))
+        else:
+            outs.append(jnp.concatenate(
+                [jnp.dot(head_ab(h), vvp_r[:, h * _DV:(h + 1) * _DV],
+                         preferred_element_type=f32).astype(dt)
+                 for h in range(H)], axis=-1))
 
     # Pair aggregation sum_j alpha[rh, i, j] z[i, j, c] as ONE batched
     # matmul over query rows i: per row (RT*H, L) @ (Cz, L)^T — the replica
@@ -250,7 +285,10 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
     a_all = jnp.concatenate(alpha_rows, axis=1)              # (L, RT*H, L)
     p2n_all = jax.lax.dot_general(
         a_all, z, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=f32).astype(dt)               # (L, RT*H, Cz)
+        preferred_element_type=f32)                          # (L, RT*H, Cz)
+    if defer_norm:
+        p2n_all = p2n_all / jnp.concatenate(sum_rows, axis=1)
+    p2n_all = p2n_all.astype(dt)
 
     feats = []                                               # (L, 1056) rest
     y_p2n = []                                               # (L, F) f32
@@ -277,12 +315,19 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
         # concats, but integer middle-dim indexing is supported — so the
         # out_transform rows for the p2n block are applied head-by-head
         # ((L, Cz) @ (Cz, F)) and summed instead of flattening p2n.
-        acc = jnp.dot(p2n_all[:, r * H, :], w['wp2n'][0],
-                      preferred_element_type=f32)
-        for h in range(1, H):
-            acc = acc + jnp.dot(p2n_all[:, r * H + h, :], w['wp2n'][h],
-                                preferred_element_type=f32)
-        y_p2n.append(acc)
+        # ``p2n_mc``: the same contraction as ONE dot_general contracting
+        # both the head and Cz dims ((L, H, Cz) x (H, Cz, F)).
+        if p2n_mc:
+            y_p2n.append(jax.lax.dot_general(
+                p2n_all[:, r * H:(r + 1) * H, :], w['wp2n'],
+                (((1, 2), (0, 1)), ((), ())), preferred_element_type=f32))
+        else:
+            acc = jnp.dot(p2n_all[:, r * H, :], w['wp2n'][0],
+                          preferred_element_type=f32)
+            for h in range(1, H):
+                acc = acc + jnp.dot(p2n_all[:, r * H + h, :], w['wp2n'][h],
+                                    preferred_element_type=f32)
+            y_p2n.append(acc)
         feats.append(jnp.concatenate(
             [node, fp.astype(dt), dist.astype(dt), direction.astype(dt)],
             axis=-1))
@@ -521,7 +566,11 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
     grid = (Nc, reps // RT)
     blk = lambda d: pl.BlockSpec((None, RT, L, d), lambda n, j: (n, j, 0, 0))
     z_spec = pl.BlockSpec((None, L, Cz, L), lambda n, j: (n, 0, 0, 0))
-    b_spec = pl.BlockSpec((None, H, L, L), lambda n, j: (n, 0, 0, 0))
+    # lhl bodies take the bias pre-transposed to (L, H, L)
+    # (transpose_bias_for_fused, applied by the caller outside the scan).
+    b_shape = ((None, L, H, L) if body_opts and body_opts.get('lhl')
+               else (None, H, L, L))
+    b_spec = pl.BlockSpec(b_shape, lambda n, j: (n, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
     names = _weight_names(body_opts)
@@ -585,8 +634,9 @@ def fused_encoder_chained(stacked, num_layers, R, t, x, z, biases, mask,
     grid = (Nc, reps // RT)
     blk = lambda d: pl.BlockSpec((None, RT, L, d), lambda n, j: (n, j, 0, 0))
     z_spec = pl.BlockSpec((None, L, Cz, L), lambda n, j: (n, 0, 0, 0))
-    b_spec = pl.BlockSpec((None, NL, H, L, L),
-                          lambda n, j: (n, 0, 0, 0, 0))
+    b_shape = ((None, NL, L, H, L) if body_opts and body_opts.get('lhl')
+               else (None, NL, H, L, L))
+    b_spec = pl.BlockSpec(b_shape, lambda n, j: (n, 0, 0, 0, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda n, j: (0,) * len(shape))
 
     names = _weight_names(body_opts)
@@ -612,6 +662,17 @@ def transpose_pair_for_fused(z):
     tensor is constant across diffusion steps and layers.
     """
     return jnp.swapaxes(z, 2, 3)
+
+
+def transpose_bias_for_fused(bias):
+    """(Nc, H, L, L) -> (Nc, L, H, L) for ``lhl`` kernel bodies.
+
+    Like :func:`transpose_pair_for_fused`: once per sampling call, outside
+    the reverse scan (the pair bias is step-invariant), so the per-replica
+    in-kernel alpha relayout it replaces is paid zero times instead of
+    RT x layers x steps.
+    """
+    return jnp.swapaxes(bias, 1, 2)
 
 
 def build_encoder_weights(enc_params, num_layers: int, dtype=jnp.bfloat16):

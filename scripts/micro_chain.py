@@ -118,6 +118,7 @@ def bench_1layer(reps, rts):
                       f'{str(e)[:160]}', flush=True)
                 return None
 
+    combo = {'dual': True, 'merged_x': True, 'fast_softmax': True}
     variants = [(None, 'base'),
                 ({'split_gemm': True}, 'split_gemm'),
                 ({'stacked_logits': True}, 'stacked_lg'),
@@ -127,12 +128,24 @@ def bench_1layer(reps, rts):
                 ({'merged_x': True, 'fast_softmax': True,
                   'stacked_logits': True}, 'mx+fsm+stk'),
                 ({'dual': True}, 'dual'),
-                ({'dual': True, 'merged_x': True,
-                  'fast_softmax': True}, 'dual+mx+fsm')]
+                (combo, 'dual+mx+fsm'),
+                # round-5b candidates on top of the shipped combo
+                (dict(combo, stacked_logits=True), 'combo+stk'),
+                (dict(combo, dual=False, quad=True), 'combo-quad'),
+                (dict(combo, lhl=True), 'combo+lhl'),
+                (dict(combo, lhl=True, fast_softmax=False,
+                      defer_norm=True), 'combo+lhl+dn'),
+                (dict(combo, fast_softmax=False, defer_norm=True),
+                 'combo+dn'),
+                (dict(combo, p2n_mc=True), 'combo+p2nmc'),
+                (dict(combo, lhl=True, fast_softmax=False, defer_norm=True,
+                      p2n_mc=True), 'combo+lhl+dn+mc')]
+    bias_lhl = [jnp.swapaxes(b, 1, 2) for b in biases]
     for rt in rts:
         for o, label in variants:
-            timed(lambda xx, o=o, r=rt: fused_encoder_apply(
-                bundles, R9, t, xx, z, biases, mask, reps=reps, rt=r,
+            bb = bias_lhl if (o and o.get('lhl')) else biases
+            timed(lambda xx, o=o, r=rt, bb=bb: fused_encoder_apply(
+                bundles, R9, t, xx, z, bb, mask, reps=reps, rt=r,
                 body_opts=o),
                 f'1layer {label:15s} rt={rt}')
 

@@ -262,12 +262,19 @@ class TestFusedBlock:
         {'merged_x': True, 'fast_softmax': True, 'stacked_logits': True},
         {'dual': True},
         {'dual': True, 'merged_x': True},
+        {'lhl': True},
+        {'lhl': True, 'defer_norm': True},
+        {'defer_norm': True},
+        {'p2n_mc': True},
+        {'dual': True, 'merged_x': True, 'lhl': True, 'defer_norm': True,
+         'p2n_mc': True},
     ])
     def test_body_variants_match_base(self, rng, opts):
         """Measurement-gated kernel-body restructurings (AB_OPT_FUSED_BODY)
         keep parity with the base body at small dims (interpret mode)."""
         from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
                                                    fused_gablock_layer,
+                                                   transpose_bias_for_fused,
                                                    transpose_pair_for_fused)
         from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
         block, params, (R, t, x, z, mask) = self._setup(rng, N=4, reps=2)
@@ -276,13 +283,43 @@ class TestFusedBlock:
         pw = bp['proj_pair_bias']['kernel'].astype(jnp.bfloat16)
         bias = precompute_pair_bias(z.astype(jnp.bfloat16), pw, mask[::2],
                                     out_dtype=jnp.bfloat16)
+        if opts.get('lhl'):
+            bias = transpose_bias_for_fused(bias)
         N, L, F = x.shape
         args = (x, R.reshape(N, L, 9).astype(jnp.float32), t,
                 transpose_pair_for_fused(z.astype(jnp.bfloat16)), bias,
                 mask.astype(jnp.float32), wb)
-        base = fused_gablock_layer(*args, reps=2, rt=2, interpret=True)
+        base_bias = (transpose_bias_for_fused(bias) if opts.get('lhl')
+                     else bias)
+        base = fused_gablock_layer(x, args[1], t, args[3], base_bias,
+                                   args[5], wb, reps=2, rt=2,
+                                   interpret=True)
         got = fused_gablock_layer(*args, reps=2, rt=2, interpret=True,
                                   body_opts=opts)
+        valid = np.asarray(mask, bool)
+        np.testing.assert_allclose(np.asarray(got)[valid],
+                                   np.asarray(base)[valid],
+                                   atol=0.02, rtol=0.02)
+
+    def test_quad_tiles_match_base(self, rng):
+        """``quad`` needs RT % 4 == 0 — exercised at reps=4, rt=4."""
+        from ab_opt_tpu.ops.gablock_pallas import (build_gablock_weights,
+                                                   fused_gablock_layer,
+                                                   transpose_pair_for_fused)
+        from ab_opt_tpu.ops.ipa_pallas import precompute_pair_bias
+        block, params, (R, t, x, z, mask) = self._setup(rng, N=4, reps=4)
+        bp = params['params']
+        wb = build_gablock_weights(bp)
+        pw = bp['proj_pair_bias']['kernel'].astype(jnp.bfloat16)
+        bias = precompute_pair_bias(z.astype(jnp.bfloat16), pw, mask[::4],
+                                    out_dtype=jnp.bfloat16)
+        N, L, F = x.shape
+        args = (x, R.reshape(N, L, 9).astype(jnp.float32), t,
+                transpose_pair_for_fused(z.astype(jnp.bfloat16)), bias,
+                mask.astype(jnp.float32), wb)
+        base = fused_gablock_layer(*args, reps=4, rt=4, interpret=True)
+        got = fused_gablock_layer(*args, reps=4, rt=4, interpret=True,
+                                  body_opts={'quad': True, 'merged_x': True})
         valid = np.asarray(mask, bool)
         np.testing.assert_allclose(np.asarray(got)[valid],
                                    np.asarray(base)[valid],
