@@ -88,7 +88,7 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
                   Cz, split_gemm=False, softmax_bf16=False,
                   stacked_logits=False, merged_x=False, fast_softmax=False,
                   dual=False, quad=False, lhl=False, defer_norm=False,
-                  p2n_mc=False):
+                  p2n_mc=False, p2n_cat=False):
     """One IPA block on VMEM-resident VALUES: x_in (RT*L, F) f32 -> same.
 
     Shared by the per-layer kernel (:func:`_gablock_kernel`) and the
@@ -138,7 +138,7 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
         opts = dict(split_gemm=split_gemm, softmax_bf16=softmax_bf16,
                     stacked_logits=stacked_logits, merged_x=merged_x,
                     fast_softmax=fast_softmax, lhl=lhl,
-                    defer_norm=defer_norm, p2n_mc=p2n_mc)
+                    defer_norm=defer_norm, p2n_mc=p2n_mc, p2n_cat=p2n_cat)
         h = rows // n_sub
         halves = [_gablock_body(x_in[o:o + h], R[o:o + h], t[o:o + h], z,
                                 bias, mask_rows[o:o + h], w, RT=RT // n_sub,
@@ -321,6 +321,16 @@ def _gablock_body(x_in, R, t, z, bias, mask_rows, w, *, RT, H, QK, V, P, PV,
             y_p2n.append(jax.lax.dot_general(
                 p2n_all[:, r * H:(r + 1) * H, :], w['wp2n'],
                 (((1, 2), (0, 1)), ((), ())), preferred_element_type=f32))
+        elif p2n_cat:
+            # Lane-dim concat of the H per-head slices (the one concat form
+            # Mosaic supports), then ONE deep dot (L, H*Cz) @ (H*Cz, F)
+            # against the row-stacked p2n weights — 1 dot issue instead of
+            # H. (The (L, H, Cz) -> (L, H*Cz) *reshape* stays unsupported;
+            # the concat-of-slices builds the same value explicitly.)
+            p_cat = jnp.concatenate(
+                [p2n_all[:, r * H + h, :] for h in range(H)], axis=-1)
+            y_p2n.append(jnp.dot(p_cat, w['wp2n_cat'],
+                                 preferred_element_type=f32))
         else:
             acc = jnp.dot(p2n_all[:, r * H, :], w['wp2n'][0],
                           preferred_element_type=f32)
@@ -358,10 +368,14 @@ _W_NAMES = ('w_pts', 's_q', 's_k', 's_v', 'b_q', 'b_k', 'pool',
 def _weight_names(body_opts):
     """Weight-ref order for a body-variant set. ``merged_x`` swaps the point
     projection for the mega x-GEMM matrix (s_q/s_k/s_v stay: their point and
-    |p|^2 rows are still contracted separately)."""
+    |p|^2 rows are still contracted separately); ``p2n_cat`` swaps the
+    per-head (H, Cz, F) p2n weights for their row-stacked (H*Cz, F) form."""
+    names = _W_NAMES
     if body_opts and body_opts.get('merged_x'):
-        return ('w_mx',) + _W_NAMES[1:]
-    return _W_NAMES
+        names = ('w_mx',) + names[1:]
+    if body_opts and body_opts.get('p2n_cat'):
+        names = tuple('wp2n_cat' if n == 'wp2n' else n for n in names)
+    return names
 
 
 def merged_x_weights(wb):
@@ -487,6 +501,7 @@ def build_gablock_weights(bp, dtype=jnp.bfloat16):
         'dims': (H, QK, V, P3 // 3, PV3 // 3),
     }
     wb['w_mx'] = merged_x_weights(wb)
+    wb['wp2n_cat'] = wb['wp2n'].reshape(-1, F_out)
     return wb
 
 
@@ -591,7 +606,7 @@ def fused_gablock_layer(x, R9, t, z, bias, mask, wb, reps: int = 1,
 def stack_encoder_weights(weight_bundles):
     """Stack per-layer bundles along a leading layer axis for the chained
     whole-encoder kernel (:func:`_encoder_chain_kernel`)."""
-    names = set(_W_NAMES) | ({'w_mx'} if 'w_mx' in weight_bundles[0] else set())
+    names = set(_W_NAMES) | ({'w_mx', 'wp2n_cat'} & set(weight_bundles[0]))
     stacked = {n: jnp.stack([wb[n] for wb in weight_bundles])
                for n in names}
     stacked['dims'] = weight_bundles[0]['dims']

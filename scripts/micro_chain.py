@@ -59,6 +59,7 @@ def make_inputs(reps, nl=NL, key=0, L=L):
             'dims': (H, QK, V, P, PV),
         })
         bundles[-1]['w_mx'] = merged_x_weights(bundles[-1])
+        bundles[-1]['wp2n_cat'] = bundles[-1]['wp2n'].reshape(H * Cz, F)
     N = reps
     x = jax.random.normal(ks[0], (N, L, F), f32)
     R9 = jax.random.normal(ks[1], (N, L, 9), f32)
@@ -130,16 +131,17 @@ def bench_1layer(reps, rts):
                 ({'dual': True}, 'dual'),
                 (combo, 'dual+mx+fsm'),
                 # round-5b candidates on top of the shipped combo
+                # (defer_norm measured a loss 3.37-3.47 vs 3.10; p2n_mc is
+                # rejected by Mosaic — multi-dim contraction unsupported)
                 (dict(combo, stacked_logits=True), 'combo+stk'),
                 (dict(combo, dual=False, quad=True), 'combo-quad'),
                 (dict(combo, lhl=True), 'combo+lhl'),
-                (dict(combo, lhl=True, fast_softmax=False,
-                      defer_norm=True), 'combo+lhl+dn'),
-                (dict(combo, fast_softmax=False, defer_norm=True),
-                 'combo+dn'),
-                (dict(combo, p2n_mc=True), 'combo+p2nmc'),
-                (dict(combo, lhl=True, fast_softmax=False, defer_norm=True,
-                      p2n_mc=True), 'combo+lhl+dn+mc')]
+                (dict(combo, p2n_cat=True), 'combo+p2ncat'),
+                (dict(combo, lhl=True, stacked_logits=True),
+                 'combo+lhl+stk'),
+                (dict(combo, lhl=True, p2n_cat=True), 'combo+lhl+cat'),
+                (dict(combo, lhl=True, stacked_logits=True, p2n_cat=True),
+                 'combo+lhl+stk+cat')]
     bias_lhl = [jnp.swapaxes(b, 1, 2) for b in biases]
     for rt in rts:
         for o, label in variants:

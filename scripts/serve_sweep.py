@@ -36,11 +36,15 @@ def main():
     # worse); the candidates left are the kernel-body combo and the rbg PRNG.
     best_body = 'dual,merged_x,fast_softmax'
     configs = [
-        ('base (auto rt)', {}, None),
-        ('body', {'AB_OPT_FUSED_BODY': best_body}, None),
-        ('body +rbg', {'AB_OPT_FUSED_BODY': best_body}, 'rbg'),
-        ('base +rbg', {}, 'rbg'),
-        ('rt=2 +body', {'AB_OPT_FUSED_RT': '2',
+        ('body (shipped combo)', {'AB_OPT_FUSED_BODY': best_body}, None),
+        ('combo+lhl', {'AB_OPT_FUSED_BODY': best_body + ',lhl'}, None),
+        ('combo+stk', {'AB_OPT_FUSED_BODY': best_body + ',stacked_logits'},
+         None),
+        ('combo+lhl+stk',
+         {'AB_OPT_FUSED_BODY': best_body + ',lhl,stacked_logits'}, None),
+        ('quad+mx+fsm',
+         {'AB_OPT_FUSED_BODY': 'quad,merged_x,fast_softmax'}, None),
+        ('combo rt=2', {'AB_OPT_FUSED_RT': '2',
                         'AB_OPT_FUSED_BODY': best_body}, None),
     ]
     knobs = ('AB_OPT_SCOPED_VMEM_KIB', 'AB_OPT_FUSED_RT', 'AB_OPT_FUSED_BODY')

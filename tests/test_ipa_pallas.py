@@ -266,8 +266,11 @@ class TestFusedBlock:
         {'lhl': True, 'defer_norm': True},
         {'defer_norm': True},
         {'p2n_mc': True},
+        {'p2n_cat': True},
         {'dual': True, 'merged_x': True, 'lhl': True, 'defer_norm': True,
          'p2n_mc': True},
+        {'dual': True, 'merged_x': True, 'lhl': True, 'stacked_logits': True,
+         'p2n_cat': True},
     ])
     def test_body_variants_match_base(self, rng, opts):
         """Measurement-gated kernel-body restructurings (AB_OPT_FUSED_BODY)
